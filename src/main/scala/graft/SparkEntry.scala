@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator has a `queries` entry; every SQL-
+  * expressible one has a DuckDB `oracleSql` twin with identical
+  * aliases/ordering/numeric handling (SURVEY.md §6).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CoreAnalytics.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreAnalytics.queries ++ EventPipeline.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+
+  def oracleSql: Map[String, String] =
+    CoreAnalytics.oracles ++ EventPipeline.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

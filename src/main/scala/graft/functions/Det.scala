@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic float handling for oracle parity.
+  *
+  * Per-row IEEE double arithmetic is bit-identical between Spark and
+  * DuckDB, but `round()` is not: Spark rounds half-up, DuckDB
+  * half-even, so values landing exactly on a .00005 boundary diverge.
+  * `floor(x·10^d)/10^d` has no tie to break — identical input doubles
+  * give identical truncations.
+  */
+object Det {
+
+  /** Truncate to `d` decimal digits (toward −∞), tie-free. */
+  def trunc(c: Column, d: Int): Column = {
+    val p = math.pow(10, d)
+    floor(c * p) / p
+  }
+
+  def trunc4(c: Column): Column = trunc(c, 4)
+
+  /** DuckDB SQL twin of [[trunc]]. */
+  def duckTrunc(expr: String, d: Int): String = {
+    val p = math.pow(10, d).toLong
+    s"floor(($expr) * $p) / $p"
+  }
+}

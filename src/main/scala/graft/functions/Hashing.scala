@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic hashing shared with the DuckDB oracle.
+  *
+  * The driver verifies every query against DuckDB, so any
+  * hash-dependent operator (fingerprints, MinHash, SimHash, LSH
+  * banding) must use a hash BOTH engines compute identically. md5 is
+  * the common denominator: Spark `conv(substr(md5(x),1,15),16,10)` and
+  * DuckDB `CAST('0x'||substr(md5(x),1,15) AS BIGINT)` yield the same
+  * non-negative 60-bit value.
+  *
+  * At 100 TB this stays fully distributed and codegen'd (md5/conv are
+  * native Catalyst expressions) — no UDFs, no driver round-trips.
+  */
+object Hashing {
+
+  /** 60-bit deterministic hash of a string column (non-negative). */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent hash families for MinHash — seed is
+    * mixed into the input, mirroring `hash64(seed || '|' || x)`.
+    */
+  def hash64Seeded(c: Column, seed: Int): Column =
+    hash64(concat_ws("|", lit(seed.toString), c))
+
+  /** DuckDB SQL fragment equivalent of [[hash64]] for oracle authoring. */
+  def duckHash64(expr: String): String =
+    s"CAST('0x' || substr(md5($expr), 1, 15) AS BIGINT)"
+
+  def duckHash64Seeded(expr: String, seed: Int): String =
+    duckHash64(s"concat_ws('|', '$seed', $expr)")
+}

@@ -1,0 +1,247 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** The reference's event pipeline re-expressed Spark-first.
+  *
+  * near-event-streams extracts `EVENT_JSON:`-prefixed log lines,
+  * validates them, filters by contract white/blacklists, keys them by
+  * contract, flattens NEP-171 array payloads, enriches with token
+  * metadata and routes them to Kafka topics
+  * (`/root/reference/src/events.rs`, `event_types.rs`, `token.rs`).
+  * Here each stage is a declarative DataFrame transform over the
+  * driver's `events` table (mapping in SURVEY.md §3), so Catalyst owns
+  * pushdown and the whole stage chain codegens; the per-contract
+  * Kafka partitioning of the reference becomes shuffle-by-key, and the
+  * per-token RPC metadata lookup becomes a broadcast dimension join —
+  * the only formulations that survive 100 TB.
+  */
+object EventPipeline {
+
+  /** `^[a-zA-Z0-9._-]+$` — event_types.rs:8-10 REGEX_STANDARD/EVENT. */
+  val NameRegex = "^[a-zA-Z0-9._-]+$"
+
+  /** Topic prefix, nes.toml `near_events_topic_prefix` analog. */
+  val TopicPrefix = "near.events"
+
+  /** events.rs:283 extract_events — parse the JSON payload into typed
+    * columns. `props` plays the `EVENT_JSON:` tail.
+    */
+  def parseProps(df: DataFrame): DataFrame =
+    df.withColumn("prop_k",
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int"))
+
+  /** event_types.rs:26-40 to_key/default_key/to_topic. */
+  def topicOf(eventType: Column): Column =
+    concat_ws(".", lit(TopicPrefix), eventType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // extract_events: JSON payload → typed columns (events.rs:283-350)
+    "ev01_extract_parse" -> { (s, d) =>
+      parseProps(Tables.events(s, d))
+        .filter(col("prop_k").isNotNull && col("prop_k") >= 50)
+        .select(col("event_id"), col("event_type"), col("prop_k"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
+    // NEP name validation drop-invalid (event_types.rs:8-24, events.rs:310)
+    "ev02_validate_regex" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").rlike(NameRegex) && col("props").rlike("^\\{.*\\}$"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_valid"))
+        .orderBy(col("event_type"))
+    },
+
+    // to_topic + catch-all fanout census (events.rs:148-196 send_events)
+    "ev03_topic_route" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val routed = ev.select(topicOf(col("event_type")).as("topic"), col("value"))
+        .unionAll(ev.select(lit(s"$TopicPrefix.all").as("topic"), col("value")))
+      routed.groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("topic"))
+    },
+
+    // whitelist/blacklist contract filter (events.rs:252-281)
+    "ev04_filter_lists" -> { (s, d) =>
+      val whitelist = (0L to 60L by 2).map(java.lang.Long.valueOf)
+      Tables.events(s, d)
+        .filter(col("user_id").isin(whitelist: _*) && !col("event_type").isin("error"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // key-by-contract + latest-per-key (events.rs:100-146 group map)
+    "ev05_keyby_latest" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // NEP-171 array flatten (event_types.rs:42-66) as token explode
+    "ev06_flatten_explode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    },
+
+    // metadata enrichment via broadcast dim join + build_id
+    // (events.rs:198-250, token.rs:23-26 build_id "contract:token")
+    "ev07_enrich_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val c = Tables.customer(s, d)
+      ev.join(broadcast(c), ev("user_id") === c("c_custkey"))
+        .withColumn("_id", concat_ws(":", col("user_id"), col("event_id")))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+          min(col("_id")).as("min_id"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // tumbling-window processing stats (stats.rs:23-77 stats_logger)
+    "ev08_stats_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .withColumn("events_per_sec", graft.functions.Det.trunc(col("n_events") / lit(3600.0), 6))
+        .orderBy(col("hour_ts"))
+    },
+
+    // gap-based sessionization (30 min), batch analog of stateful streams
+    "ev09_sessionize" -> { (s, d) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sessions = Tables.events(s, d)
+        .withColumn("prev_s", lag(col("ts").cast("long"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || (col("ts").cast("long") - col("prev_s")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
+    // signup→purchase conversion funnel
+    "ev10_event_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val first = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val conv = first.join(purch,
+          col("user_id") === col("p_user") && col("p_ts") > col("signup_ts"), "left_semi")
+      first.agg(count(lit(1)).as("n_signup")).crossJoin(
+        conv.agg(count(lit(1)).as("n_converted")))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "ev01_extract_parse" ->
+      """SELECT event_id, event_type,
+        | CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS prop_k, value
+        |FROM events
+        |WHERE CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) >= 50
+        |ORDER BY event_id""".stripMargin,
+
+    "ev02_validate_regex" ->
+      """SELECT event_type, COUNT(*) AS n_valid FROM events
+        |WHERE regexp_matches(event_type, '^[a-zA-Z0-9._-]+$')
+        |  AND regexp_matches(props, '^\{.*\}$')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ev03_topic_route" ->
+      """SELECT topic, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT 'near.events.' || event_type AS topic, value FROM events
+        |  UNION ALL
+        |  SELECT 'near.events.all' AS topic, value FROM events)
+        |GROUP BY topic ORDER BY topic""".stripMargin,
+
+    "ev04_filter_lists" ->
+      """SELECT user_id, COUNT(*) AS n_events FROM events
+        |WHERE user_id IN (0,2,4,6,8,10,12,14,16,18,20,22,24,26,28,30,32,34,36,38,40,42,44,46,48,50,52,54,56,58,60)
+        |  AND event_type NOT IN ('error')
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev05_keyby_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "ev06_flatten_explode" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "ev07_enrich_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        | COUNT(DISTINCT user_id) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | MIN(user_id || ':' || event_id) AS min_id
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "ev08_stats_window" ->
+      """SELECT hour_ts, n_events, n_users, sum_value,
+        | floor((n_events / 3600.0) * 1000000) / 1000000 AS events_per_sec
+        |FROM (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_users,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1)
+        |ORDER BY hour_ts""".stripMargin,
+
+    "ev09_sessionize" ->
+      """SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_s IS NULL
+        |                OR (CAST(floor(epoch(ts)) AS BIGINT) - prev_s) > 1800
+        |           THEN 1 ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        LAG(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |      FROM events)))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev10_event_funnel" ->
+      """SELECT (SELECT COUNT(*) FROM (
+        |   SELECT user_id FROM events WHERE event_type = 'signup' GROUP BY user_id)) AS n_signup,
+        | (SELECT COUNT(*) FROM (
+        |   SELECT s.user_id FROM
+        |     (SELECT user_id, MIN(ts) AS signup_ts FROM events
+        |      WHERE event_type = 'signup' GROUP BY user_id) s
+        |   WHERE EXISTS (SELECT 1 FROM events p
+        |                 WHERE p.event_type = 'purchase'
+        |                   AND p.user_id = s.user_id
+        |                   AND p.ts > s.signup_ts))) AS n_converted""".stripMargin
+  )
+}

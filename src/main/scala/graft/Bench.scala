@@ -17,7 +17,7 @@ object Bench {
     // warmup: pay session/IO/codegen one-time costs outside the timings
     Seq("lineitem", "documents", "embeddings", "events", "orders")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    {
+    locally {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       spark.range(1000).select(col("id"), graft.functions.Hashing.hash64(col("id").cast("string")).as("h"))

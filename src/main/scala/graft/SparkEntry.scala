@@ -17,7 +17,7 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreAnalytics.queries ++ EventPipeline.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Multimodal.queries2
 
   def oracleSql: Map[String, String] =
     CoreAnalytics.oracles ++ EventPipeline.oracles ++ TextAnalysis.oracles ++

@@ -149,6 +149,19 @@ object CoreAnalytics {
         .orderBy(col("l_linestatus"))
     },
 
+    // HLL-sketch distinct counts (approx_count_distinct): the 100 TB
+    // path for q08-style exact distincts. No DuckDB oracle (different
+    // sketch implementations) → driver's rows-only check; the spec
+    // asserts the ±5% envelope against exact counts.
+    "q13_approx_distinct" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("approx_customers"),
+          countDistinct(col("o_custkey")).as("exact_customers"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q12_multijoin_pushdown" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_size") < 15 && col("p_type") === "ECONOMY")

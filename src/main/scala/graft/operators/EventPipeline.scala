@@ -142,6 +142,30 @@ object EventPipeline {
         .orderBy(col("user_id"))
     },
 
+    // the stats pipeline run THROUGH Structured Streaming: readStream
+    // over the events parquet → tumbling-window agg → memory sink,
+    // returned as the final batch snapshot. Streaming results are in
+    // the same DuckDB correctness gate as batch (stats.rs re-expressed
+    // on the streaming engine).
+    "ev11_stream_stats" -> { (s, d) =>
+      val name = "graft_ev11_mem"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val agg = ev
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table(name)
+        .orderBy(col("hour_ts"), col("event_type"))
+    },
+
     // signup→purchase conversion funnel
     "ev10_event_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -231,6 +255,11 @@ object EventPipeline {
         |          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
         |      FROM events)))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "ev11_stream_stats" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
 
     "ev10_event_funnel" ->
       """SELECT (SELECT COUNT(*) FROM (

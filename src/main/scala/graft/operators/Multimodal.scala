@@ -76,7 +76,25 @@ object Multimodal {
     }
   )
 
+  /** The mapPartitions decode path as a gated query: per-item features
+    * from the batched binary transform. The fake features are
+    * deterministic functions of the payload bytes, so even the
+    * RDD-boundary plumbing is oracle-checked.
+    */
+  private def mm02(s: SparkSession, d: String): DataFrame =
+    fakeDecode(asMedia(Tables.documents(s, d)))
+      .select(col("media_id"), col("feat_n_bytes"), col("feat_first"), col("feat_last"))
+      .orderBy(col("media_id"))
+
+  def queries2: Map[String, (SparkSession, String) => DataFrame] =
+    Map("mm02_decode_features" -> (mm02 _))
+
   def oracles: Map[String, String] = Map(
+    "mm02_decode_features" ->
+      """SELECT doc_id AS media_id, strlen(text) AS feat_n_bytes,
+        | ord(substr(text, 1, 1)) AS feat_first,
+        | ord(substr(text, length(text), 1)) AS feat_last
+        |FROM documents ORDER BY media_id""".stripMargin,
     "mm01_binary_meta" ->
       """SELECT source, COUNT(*) AS n_items,
         | CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,

@@ -56,6 +56,8 @@ object PerfProbe {
         .filter(col("doc_a") < col("doc_b"))
         .select(size(array_intersect(col("sh_a"), col("sh_b"))).as("c"))
         .agg(sum(col("c"))).collect())
+    time("dd01 fp only")(docs.select(Hashing.hash64(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")).agg(max(col("fp"))).collect())
+    time("dd01 fp+group")(docs.select(col("doc_id"), Hashing.hash64(lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp")).groupBy(col("fp")).agg(min(col("doc_id"))).agg(count(lit(1))).collect())
     time("dd02 full")(Dedup.queries("dd02_ngram_jaccard")(spark, d).count())
     time("dd03 full")(Dedup.queries("dd03_minhash_lsh")(spark, d).count())
     time("dd01 full")(Dedup.queries("dd01_exact")(spark, d).count())

@@ -9,10 +9,20 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle twin") {
+  test("every oracle has a query; only sketch ops lack oracles") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(q === o, s"queries without oracle: ${q -- o}; oracles without query: ${o -- q}")
+    assert((o -- q).isEmpty, s"oracles without query: ${o -- q}")
+    assert((q -- o) === Set("q13_approx_distinct"), s"unexpected rows-only queries: ${q -- o}")
+  }
+
+  test("q13 approx distinct stays within 5% of exact") {
+    val rows = SparkEntry.queries("q13_approx_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_customers").toDouble
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
   }
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

@@ -16,12 +16,13 @@ class QueriesSmokeSpec extends SparkSpec {
     assert((q -- o) === Set("q13_approx_distinct"), s"unexpected rows-only queries: ${q -- o}")
   }
 
-  test("q13 approx distinct stays within 5% of exact") {
+  test("q13 approx distinct stays within 10% of exact") {
+    // default HLL++ rsd is 5% (a std-dev, not a bound) — 10% envelope
     val rows = SparkEntry.queries("q13_approx_distinct")(spark, sf).collect()
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_customers").toDouble
       val exact = r.getAs[Long]("exact_customers").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+      assert(math.abs(approx - exact) / exact <= 0.10, s"$approx vs $exact")
     }
   }
 

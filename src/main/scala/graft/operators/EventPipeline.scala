@@ -166,6 +166,16 @@ object EventPipeline {
         .orderBy(col("hour_ts"), col("event_type"))
     },
 
+    // Spark-native gap sessions (session_window) — same semantics the
+    // streaming engine uses for stateful session aggregation
+    "ev12_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("sess_start"), col("n_events"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
     // signup→purchase conversion funnel
     "ev10_event_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -260,6 +270,24 @@ object EventPipeline {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
         | COUNT(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin,
+
+    // gap >= 30 min starts a new session (session_window end-exclusive);
+    // epoch_us keeps the comparison at full microsecond precision
+    "ev12_session_window" ->
+      """SELECT user_id, MIN(ts) AS sess_start, COUNT(*) AS n_events FROM (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_us IS NULL
+        |                OR (epoch_us(ts) - prev_us) >= 1800000000 THEN 1
+        |           ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |      FROM events)))
+        |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
 
     "ev10_event_funnel" ->
       """SELECT (SELECT COUNT(*) FROM (

@@ -176,6 +176,32 @@ object EventPipeline {
         .orderBy(col("user_id"), col("sess_start"))
     },
 
+    // the REAL reference pipeline end-to-end under the oracle: events
+    // rendered as EVENT_JSON log lines, then
+    // extractEvents → validated → toKafkaRecords (EventStreams), with
+    // per-topic delivery census. Exercises prefix filter, JSON
+    // envelope parse, emit_info attachment, to_key/to_topic and the
+    // catch-all fanout (events.rs full path).
+    "ev13_pipeline_e2e" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val logs = ev.select(
+        concat(
+          lit("EVENT_JSON:{\"standard\":\"app\",\"version\":\"1.0.0\",\"event\":\""),
+          col("event_type"), lit("\",\"data\":"), col("props"), lit("}")).as("log"),
+        concat(lit("r"), col("event_id")).as("receipt_id"),
+        col("ts").cast("long").as("block_timestamp"),
+        col("event_id").as("block_height"),
+        pmod(col("user_id"), lit(4)).as("shard_id"),
+        concat(lit("c"), col("user_id")).as("contract_account_id"))
+      val events = graft.streaming.EventStreams.validated(
+        graft.streaming.EventStreams.extractEvents(logs))
+      graft.streaming.EventStreams
+        .toKafkaRecords(events, TopicPrefix, s"$TopicPrefix.all")
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("n_records"), countDistinct(col("key")).as("n_keys"))
+        .orderBy(col("topic"))
+    },
+
     // signup→purchase conversion funnel
     "ev10_event_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -288,6 +314,16 @@ object EventPipeline {
         |        LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |      FROM events)))
         |GROUP BY user_id, sess_id ORDER BY user_id, sess_start""".stripMargin,
+
+    "ev13_pipeline_e2e" ->
+      """SELECT topic, COUNT(*) AS n_records,
+        | COUNT(DISTINCT key) AS n_keys
+        |FROM (
+        |  SELECT 'near.events.app.' || event_type AS topic,
+        |         'c' || user_id AS key FROM events
+        |  UNION ALL
+        |  SELECT 'near.events.all' AS topic, 'c' || user_id AS key FROM events)
+        |GROUP BY topic ORDER BY topic""".stripMargin,
 
     "ev10_event_funnel" ->
       """SELECT (SELECT COUNT(*) FROM (

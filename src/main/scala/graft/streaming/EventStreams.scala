@@ -54,6 +54,17 @@ object EventStreams {
       col("standard").isNotNull && col("event").isNotNull &&
       col("standard").rlike(NameRegex) && col("event").rlike(NameRegex))
 
+  /** Valid/invalid split: the reference logs-and-drops invalid events
+    * (events.rs:310-340); at scale the scalable analog is a dead-letter
+    * frame that routes to its own sink instead of vanishing into logs.
+    */
+  def extractWithDeadLetter(logs: DataFrame): (DataFrame, DataFrame) = {
+    val all = extractEvents(logs)
+    val ok = col("standard").isNotNull && col("event").isNotNull &&
+      col("standard").rlike(NameRegex) && col("event").rlike(NameRegex)
+    (all.filter(ok), all.filter(!ok || col("standard").isNull || col("event").isNull))
+  }
+
   /** Whitelist/blacklist on contract id; empty list = no constraint. */
   def filterContracts(events: DataFrame, whitelist: Seq[String], blacklist: Seq[String]): DataFrame = {
     val wl = if (whitelist.isEmpty) lit(true)

@@ -29,13 +29,30 @@ object StreamJobs {
         col("blocks_processed"),
         (col("blocks_processed") / lit(intervalSec.toDouble)).as("blocks_per_sec"))
 
-  /** Latest-event-per-key over a stream (reference keys every Kafka
-    * record by contract id; compaction semantics = keep latest).
+  /** Streaming dedup-by-key within the watermark (reference keys every
+    * Kafka record by contract id; repeated deliveries collapse).
     */
-  def dedupLatest(events: DataFrame, tsCol: String): DataFrame =
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, watermark: String = "1 minute"): DataFrame =
     events
-      .withWatermark(tsCol, "1 minute")
-      .dropDuplicatesWithinWatermark("event_key")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Stream-stream interval join: enrich a fact stream with a second
+    * stream's rows within a time bound (both sides watermarked so
+    * state is bounded — the scalable form of the reference's
+    * cross-topic correlation).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String, boundSec: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $boundSec SECONDS"))
+  }
 
   case class SessionEvent(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Long)

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamJobs
+
+case class KeyedEvent(event_key: String, ts: Timestamp, v: Int)
+
+class StreamStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupWithinWatermark collapses repeated keys in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val out = StreamJobs.dedupWithinWatermark(in.toDF(), Seq("event_key"), "ts")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(
+      KeyedEvent("a", ts("2024-01-01 00:00:01"), 1),
+      KeyedEvent("a", ts("2024-01-01 00:00:02"), 2),
+      KeyedEvent("b", ts("2024-01-01 00:00:03"), 3))
+    q.processAllAvailable()
+    in.addData(KeyedEvent("a", ts("2024-01-01 00:00:04"), 4))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").collect()
+    // one row per key within the watermark window
+    assert(rows.map(_.getAs[String]("event_key")).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("stream-stream interval join correlates within the bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val signups = MemoryStream[KeyedEvent]
+    val purchases = MemoryStream[KeyedEvent]
+    val joined = StreamJobs.intervalJoin(
+      signups.toDF().select(col("event_key"), col("ts").as("s_ts")),
+      purchases.toDF().select(col("event_key"), col("ts").as("p_ts")),
+      "event_key", "s_ts", "p_ts", "1 minute", 3600)
+    val q = joined.writeStream.format("memory").queryName("join_out")
+      .outputMode(OutputMode.Append).start()
+    signups.addData(KeyedEvent("u1", ts("2024-01-01 00:00:00"), 0),
+      KeyedEvent("u2", ts("2024-01-01 00:00:00"), 0))
+    purchases.addData(
+      KeyedEvent("u1", ts("2024-01-01 00:30:00"), 1), // within 1h → match
+      KeyedEvent("u2", ts("2024-01-01 02:00:00"), 2)) // outside → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("join_out").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("event_key") === "u1")
+  }
+}

@@ -162,6 +162,58 @@ object CoreAnalytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // window-function suite: lead/lag/ntile/percent_rank in one pass
+    "q14_window_suite" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          graft.functions.Det.trunc4(percent_rank().over(w)).as("pr"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    // exact interpolated percentiles per group (same linear
+    // interpolation as DuckDB quantile_cont)
+    "q15_percentiles" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          graft.functions.Det.trunc4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+          graft.functions.Det.trunc4(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // CUBE aggregation over priority × status
+    "q16_cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    },
+
+    // calendar bucketing: day-of-week × hour activity grid
+    "q17_datetime" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"), hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("dow"), col("hr"))
+    },
+
+    // set algebra: (clickers ∩ purchasers) \ errorers
+    "q18_set_ops" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def users(t: String) = ev.filter(col("event_type") === t).select(col("user_id"))
+      users("click").intersect(users("purchase"))
+        .except(users("error"))
+        .orderBy(col("user_id"))
+    },
+
     "q12_multijoin_pushdown" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_size") < 15 && col("p_type") === "ECONOMY")
@@ -264,6 +316,44 @@ object CoreAnalytics {
         | CAST(SUM(CAST(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS qty_n,
         | COUNT(*) AS n_lines
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q14_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        | LAG(o_totalprice, 1) OVER w AS prev_price,
+        | LEAD(o_totalprice, 1) OVER w AS next_price,
+        | NTILE(4) OVER w AS quartile,
+        | floor(percent_rank() OVER w * 10000) / 10000 AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q15_percentiles" ->
+      """SELECT o_orderpriority,
+        | floor(quantile_cont(o_totalprice, 0.5) * 10000) / 10000 AS p50,
+        | floor(quantile_cont(o_totalprice, 0.9) * 10000) / 10000 AS p90,
+        | COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q16_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q17_datetime" ->
+      """SELECT dayofweek(ts) AS dow, extract(hour FROM ts) AS hr,
+        | COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
+
+    "q18_set_ops" ->
+      """SELECT user_id FROM (
+        | SELECT user_id FROM events WHERE event_type = 'click'
+        | INTERSECT
+        | SELECT user_id FROM events WHERE event_type = 'purchase')
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
 
     "q12_multijoin_pushdown" ->
       """SELECT s_name, p_brand,

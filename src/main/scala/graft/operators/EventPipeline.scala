@@ -202,6 +202,17 @@ object EventPipeline {
         .orderBy(col("topic"))
     },
 
+    // JSON path extraction (get_json_object — the generic EventData
+    // payload access for standards without typed schemas)
+    "ev14_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .groupBy(floor(col("k") / 10).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("k_bucket"))
+    },
+
     // signup→purchase conversion funnel
     "ev10_event_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -324,6 +335,13 @@ object EventPipeline {
         |  UNION ALL
         |  SELECT 'near.events.all' AS topic, 'c' || user_id AS key FROM events)
         |GROUP BY topic ORDER BY topic""".stripMargin,
+
+    "ev14_json_extract" ->
+      """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10) AS BIGINT) AS k_bucket,
+        | COUNT(*) AS n_events
+        |FROM events
+        |WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |GROUP BY 1 ORDER BY k_bucket""".stripMargin,
 
     "ev10_event_funnel" ->
       """SELECT (SELECT COUNT(*) FROM (

@@ -87,6 +87,20 @@ object TextAnalysis {
         .orderBy(col("lang"), col("guessed"))
     },
 
+    // fuzzy token matching: edit-distance ≤ 2 pairs over the vocab
+    "tx05_edit_distance" -> { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .distinct()
+      val a = vocab.select(col("tok").as("tok_a"))
+      val b = vocab.select(col("tok").as("tok_b"))
+      a.crossJoin(b)
+        .filter(col("tok_a") < col("tok_b"))
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+        .filter(col("dist") <= 2)
+        .orderBy(col("tok_a"), col("tok_b"))
+    },
+
     "tx04_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -135,6 +149,15 @@ object TextAnalysis {
          |      len(list_filter($duckToks, t -> t IN ('le','et','les'))) AS s_fr
          |    FROM documents))
          |GROUP BY lang, guessed ORDER BY lang, guessed""".stripMargin,
+
+    "tx05_edit_distance" ->
+      s"""WITH vocab AS (
+         |  SELECT DISTINCT unnest($duckToks) AS tok FROM documents)
+         |SELECT a.tok AS tok_a, b.tok AS tok_b,
+         |  levenshtein(a.tok, b.tok) AS dist
+         |FROM vocab a, vocab b
+         |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
+         |ORDER BY tok_a, tok_b""".stripMargin,
 
     "tx04_fingerprint" ->
       s"""SELECT doc_id,

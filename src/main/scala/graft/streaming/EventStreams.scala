@@ -143,9 +143,11 @@ object EventStreams {
   def toKafkaRecords(events: DataFrame, prefix: String, allTopic: String): DataFrame = {
     val value = to_json(struct(
       col("standard"), col("version"), col("event"), col("data"), col("emit_info")))
-    val keyed = events.select(
-      eventKey.as("key"), value.as("value"), eventTopic(prefix).as("topic"))
-    keyed.unionByName(
-      events.select(eventKey.as("key"), value.as("value"), lit(allTopic).as("topic")))
+    // explode over the two destinations rather than unionAll: a union
+    // re-evaluates the whole upstream parse pipeline per branch, the
+    // explode computes it once and fans out rows
+    events.select(
+      eventKey.as("key"), value.as("value"),
+      explode(array(eventTopic(prefix), lit(allTopic))).as("topic"))
   }
 }

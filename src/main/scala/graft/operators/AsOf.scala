@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) join: each left row picks up the latest right
+  * row with `right.ts <= left.ts` for its key.
+  *
+  * This is the batch form of the reference's metadata lookup — token
+  * metadata fetched "at final block" (token.rs get_nft_token queries
+  * chain state as-of finality); with versioned metadata it becomes a
+  * slowly-changing-dimension enrichment.
+  *
+  * Spark has no ASOF JOIN operator. The naive formulation
+  * (equi-join on key + `r.ts <= l.ts` + argmax per left row) explodes
+  * to |matches| pairs before reducing. This implementation is the
+  * scalable composition: UNION both sides, one sort per key by
+  * (ts, side), carry the right side's values forward with
+  * `last(_, ignoreNulls)` — a single shuffle on the key, O(n+m) state,
+  * no pair blow-up. Same trick works under Structured Streaming with
+  * flatMapGroupsWithState holding the carry-forward value.
+  */
+object AsOf {
+
+  /** @param left       fact side (kept in full)
+    * @param right      version side; only `valueCols` are carried
+    * @param key        equi-join key column name (same name both sides)
+    * @param leftTs     left event-time column name
+    * @param rightTs    right version-time column name
+    * @param valueCols  right columns to carry onto each left row
+    */
+  def joinAsOf(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // unified layout: key, __ts, __side (0 = right sorts first on tie),
+    // left payload nulled on right rows and vice versa
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .select(Seq(col(key), col("__ts"), col("__side")) ++
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__v_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -213,6 +213,20 @@ object EventPipeline {
         .orderBy(col("k_bucket"))
     },
 
+    // as-of enrichment: each purchase picks up the latest prior click
+    // value for its user (metadata-at-block-height semantics,
+    // token.rs get_nft_token at finality → SCD enrichment at scale)
+    "ev15_asof_enrich" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value"))
+      AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "c_ts", Seq("value"))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy(col("event_id"))
+    },
+
     // signup→purchase conversion funnel
     "ev10_event_funnel" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -342,6 +356,15 @@ object EventPipeline {
         |FROM events
         |WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "ev15_asof_enrich" ->
+      """SELECT l.event_id, r.value AS asof_value
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+        |                WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "ev10_event_funnel" ->
       """SELECT (SELECT COUNT(*) FROM (

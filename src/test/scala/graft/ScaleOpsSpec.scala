@@ -19,6 +19,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaWindow.exceptAll(viaAgg).count() === 0)
   }
 
+  test("joinAsOf matches the naive pair-explosion formulation") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("r_user"), col("ts").as("c_ts"), col("value"))
+    val naive = l.join(r, l("user_id") === r("r_user") && r("c_ts") <= l("ts"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_id"))
+          .orderBy(col("c_ts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("value").as("asof_value"))
+    val fast = graft.operators.AsOf
+      .joinAsOf(l, r.withColumnRenamed("r_user", "user_id"), "user_id", "ts", "c_ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+    assert(fast.count() === l.count())
+    assert(fast.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(fast).count() === 0)
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     val ev = Tables.events(spark, sf)
     val c = Tables.customer(spark, sf)

@@ -214,6 +214,29 @@ object CoreAnalytics {
         .orderBy(col("user_id"))
     },
 
+    // pivot: order counts per priority × status matrix
+    "q19_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot(col("o_orderstatus"), Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // unpivot/melt: wide → long over the quantity columns
+    "q20_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("price"))
+        .unpivot(Array(col("l_returnflag")), Array(col("qty"), col("price")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure"))
+    },
+
     "q12_multijoin_pushdown" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_size") < 15 && col("p_type") === "ECONOMY")
@@ -354,6 +377,24 @@ object CoreAnalytics {
         |EXCEPT
         |SELECT user_id FROM events WHERE event_type = 'error'
         |ORDER BY user_id""".stripMargin,
+
+    "q19_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q20_unpivot" ->
+      """SELECT l_returnflag, measure, val FROM (
+        |  SELECT l_returnflag, 'qty' AS measure,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS val
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT l_returnflag, 'price' AS measure,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS val
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag, measure""".stripMargin,
 
     "q12_multijoin_pushdown" ->
       """SELECT s_name, p_brand,

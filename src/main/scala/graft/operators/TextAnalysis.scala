@@ -101,6 +101,16 @@ object TextAnalysis {
         .orderBy(col("tok_a"), col("tok_b"))
     },
 
+    // ordered array aggregation: sorted distinct vocab per language
+    "tx06_collect_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(concat_ws(" ", sort_array(collect_set(col("tok")))).as("vocab"),
+          countDistinct(col("tok")).as("vocab_size"))
+        .orderBy(col("lang"))
+    },
+
     "tx04_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -158,6 +168,12 @@ object TextAnalysis {
          |FROM vocab a, vocab b
          |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
          |ORDER BY tok_a, tok_b""".stripMargin,
+
+    "tx06_collect_tokens" ->
+      s"""SELECT lang, array_to_string(list_sort(list(DISTINCT tok)), ' ') AS vocab,
+         | COUNT(DISTINCT tok) AS vocab_size
+         |FROM (SELECT lang, unnest($duckToks) AS tok FROM documents)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tx04_fingerprint" ->
       s"""SELECT doc_id,

@@ -23,6 +23,15 @@ object Bench {
       spark.range(1000).select(col("id"), graft.functions.Hashing.hash64(col("id").cast("string")).as("h"))
         .withColumn("rn", row_number().over(Window.partitionBy(col("id") % 7).orderBy(col("h"))))
         .groupBy(col("rn")).agg(sum(col("h"))).orderBy(col("rn")).count()
+      // warm the text/vector paths (regexp + md5 + explode + dot)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+      docs.select(graft.functions.Hashing.hash64(
+          lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+          explode(split(trim(col("text")), "\\s+")).as("tok"))
+        .groupBy(col("fp")).agg(count(col("tok"))).orderBy(col("fp")).count()
+      val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+        .select(col("embedding").cast("array<double>").as("e"))
+      em.select(graft.functions.DotExpr(col("e"), col("e")).as("d")).agg(sum(col("d"))).count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -17,9 +17,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreAnalytics.queries ++ EventPipeline.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Multimodal.queries2
+      Dedup.queries ++ Similarity.queries ++ Similarity.queries2 ++
+      Multimodal.queries ++ Multimodal.queries2
 
   def oracleSql: Map[String, String] =
     CoreAnalytics.oracles ++ EventPipeline.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Similarity.oracles2 ++
+      Multimodal.oracles
 }

@@ -111,6 +111,35 @@ object TextAnalysis {
         .orderBy(col("lang"))
     },
 
+    // BPE-ish regex tokenization: letter runs / digit runs / single
+    // punctuation, the pre-tokenizer shape BPE vocabularies train on
+    "tx07_bpe_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks",
+          regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).as("total_bpe_tokens"),
+          graft.functions.Det.trunc4(
+            sum(size(col("toks"))).cast("double") / count(lit(1))).as("avg_bpe_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // winnowing fingerprints: rolling char-8-gram hashes, min per
+    // 4-gram window, distinct mins = the document's fingerprint set
+    "tx08_winnowing" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("gh", transform(
+          sequence(lit(0), length(col("text")) - 8),
+          i => Hashing.hash64(col("text").substr(i + 1, lit(8)))))
+        .withColumn("mins", array_distinct(transform(
+          sequence(lit(0), size(col("gh")) - 4),
+          w => array_min(slice(col("gh"), w + 1, lit(4))))))
+        .select(col("doc_id"), size(col("mins")).as("n_fps"), array_min(col("mins")).as("min_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     "tx04_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -168,6 +197,25 @@ object TextAnalysis {
          |FROM vocab a, vocab b
          |WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
          |ORDER BY tok_a, tok_b""".stripMargin,
+
+    "tx07_bpe_tokens" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(n_toks) AS BIGINT) AS total_bpe_tokens,
+         | floor((CAST(SUM(n_toks) AS DOUBLE) / COUNT(*)) * 10000) / 10000 AS avg_bpe_tokens
+         |FROM (SELECT source,
+         |        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_toks
+         |      FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "tx08_winnowing" ->
+      s"""SELECT doc_id, len(mins) AS n_fps, list_min(mins) AS min_fp FROM (
+         |  SELECT doc_id, list_distinct(list_transform(range(len(gh) - 3),
+         |    w -> list_min(gh[w+1:w+4]))) AS mins
+         |  FROM (
+         |    SELECT doc_id, list_transform(range(length(text) - 7),
+         |      i -> ${Hashing.duckHash64("substr(text, i + 1, 8)")}) AS gh
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin,
 
     "tx06_collect_tokens" ->
       s"""SELECT lang, array_to_string(list_sort(list(DISTINCT tok)), ' ') AS vocab,

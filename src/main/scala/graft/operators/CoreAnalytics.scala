@@ -237,6 +237,53 @@ object CoreAnalytics {
         .orderBy(col("l_returnflag"), col("measure"))
     },
 
+    // full outer join with null-side handling
+    "q21_outer_join" -> { (s, d) =>
+      val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_customers"))
+      val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, col("nk") === col("nk2"), "full_outer")
+        .select(
+          coalesce(col("nk"), col("nk2")).as("nationkey"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+          coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+        .orderBy(col("nationkey"))
+    },
+
+    // SQL-text entry with a correlated scalar subquery: orders above
+    // their own customer's average price
+    "q22_sql_text" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT o_custkey, COUNT(*) AS n_above
+          |FROM g_orders o
+          |WHERE o_totalprice >
+          |      (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+          |                * 1.5 / COUNT(*)
+          |       FROM g_orders o2
+          |       WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+    },
+
+    // moment statistics from decimal-exact sums (order-independent
+    // variance/stddev: sqrt((Σx² − (Σx)²/n)/(n−1)) over exact Σ)
+    "q23_stats_moments" -> { (s, d) =>
+      val x = col("o_totalprice")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast("decimal(18,6)")).cast("double").as("sum_x"),
+          sum((x * x).cast("decimal(28,6)")).cast("double").as("sum_x2"))
+        .select(
+          col("o_orderpriority"), col("n"),
+          graft.functions.Det.trunc4(col("sum_x") / col("n")).as("mean"),
+          graft.functions.Det.trunc4(
+            sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))).as("stddev"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q12_multijoin_pushdown" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
       val p = Tables.part(s, d).filter(col("p_size") < 15 && col("p_type") === "ECONOMY")
@@ -395,6 +442,38 @@ object CoreAnalytics {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS val
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q21_outer_join" ->
+      """SELECT COALESCE(nk, nk2) AS nationkey,
+        | COALESCE(n_customers, 0) AS n_customers,
+        | COALESCE(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk2, COUNT(*) AS n_suppliers
+        |                 FROM supplier GROUP BY 1) s
+        |  ON nk = nk2
+        |ORDER BY nationkey""".stripMargin,
+
+    "q22_sql_text" ->
+      """SELECT o_custkey, COUNT(*) AS n_above
+        |FROM orders o
+        |WHERE o_totalprice >
+        |      (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                * 1.5 / COUNT(*)
+        |       FROM orders o2
+        |       WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q23_stats_moments" ->
+      """SELECT o_orderpriority, n,
+        | floor((sum_x / n) * 10000) / 10000 AS mean,
+        | floor(sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) * 10000) / 10000 AS stddev
+        |FROM (
+        |  SELECT o_orderpriority, COUNT(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_x,
+        |    CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_x2
+        |  FROM orders GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q12_multijoin_pushdown" ->
       """SELECT s_name, p_brand,

@@ -23,6 +23,38 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** The same as-of semantics as [[joinAsOf]] but as the custom
+    * whole-operator plan ([[graft.plans.AsOfJoinPlan]] →
+    * AsOfJoinExec): one shuffle + sort per side, then a streaming
+    * per-partition merge with O(1) carried state. Requires
+    * [[graft.plans.GraftExtensions]] on the session.
+    */
+  def joinAsOfNative(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+    // re-alias the right side so a self-join can't alias-collide
+    val rightFresh = right.select(
+      right.columns.toSeq.map(c => right(c).as(s"__r_$c")): _*)
+    val lPlan = bridge.analyzed(left)
+    val rPlan = bridge.analyzed(rightFresh)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name in ${plan.output.map(_.name)}"))
+    val rv = valueCols.map(c => attr(rPlan, s"__r_$c"))
+    val outAttrs = valueCols.zip(rv).map { case (c, a) =>
+      AttributeReference(s"asof_$c", a.dataType, nullable = true)()
+    }
+    bridge.ofRows(left.sparkSession, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, s"__r_$key"),
+      attr(lPlan, leftTs), attr(rPlan, s"__r_$rightTs"),
+      rv, outAttrs))
+  }
+
   /** @param left       fact side (kept in full)
     * @param right      version side; only `valueCols` are carried
     * @param key        equi-join key column name (same name both sides)

@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotExpr(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => NativeHashRewrite)
+    e.injectPlannerStrategy(_ => AsOfStrategy)
   }
 }
 

@@ -40,6 +40,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(naive.exceptAll(fast).count() === 0)
   }
 
+  test("native AsOfJoinExec matches the composed union formulation") {
+    val ev = Tables.events(spark, sf)
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("value"))
+    val composed = graft.operators.AsOf
+      .joinAsOf(l, r, "user_id", "ts", "c_ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+    val native = graft.operators.AsOf
+      .joinAsOfNative(l, r, "user_id", "ts", "c_ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      native.queryExecution.executedPlan.toString)
+    assert(native.count() === composed.count())
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     val ev = Tables.events(spark, sf)
     val c = Tables.customer(spark, sf)

@@ -54,6 +54,17 @@ object EventStreams {
       col("standard").isNotNull && col("event").isNotNull &&
       col("standard").rlike(NameRegex) && col("event").rlike(NameRegex))
 
+  /** Typed view of the extracted envelope — `Dataset[NearEventRow]`
+    * for compile-time field checks in user pipelines.
+    */
+  def typedEvents(events: DataFrame): org.apache.spark.sql.Dataset[graft.model.NearEventRow] = {
+    implicit val enc: org.apache.spark.sql.Encoder[graft.model.NearEventRow] =
+      org.apache.spark.sql.Encoders.product[graft.model.NearEventRow]
+    events.select(
+      col("standard"), col("version"), col("event"), col("data"), col("emit_info")
+    ).as[graft.model.NearEventRow]
+  }
+
   /** Valid/invalid split: the reference logs-and-drops invalid events
     * (events.rs:310-340); at scale the scalable analog is a dead-letter
     * frame that routes to its own sink instead of vanishing into logs.

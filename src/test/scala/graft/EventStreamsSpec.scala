@@ -73,6 +73,15 @@ class EventStreamsSpec extends SparkSpec {
     assert(enriched.filter(col("token_id") === "2:1").head.getAs[String]("title") == null)
   }
 
+  test("typedEvents gives a compile-time-checked Dataset[NearEventRow]") {
+    val ev = EventStreams.typedEvents(
+      EventStreams.validated(EventStreams.extractEvents(logs)))
+    val mints = ev.filter(_.event == "nft_mint")
+      .map(e => e.emit_info.contract_account_id)(
+        org.apache.spark.sql.Encoders.STRING)
+    assert(mints.collect().toSet === Set("nft.example.near"))
+  }
+
   test("toKafkaRecords emits per-event topic + catch-all fanout") {
     val ev = EventStreams.validated(EventStreams.extractEvents(logs))
     val recs = EventStreams.toKafkaRecords(ev, "near.events", "near.events.all")

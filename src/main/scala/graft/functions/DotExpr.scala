@@ -20,25 +20,37 @@ case class DotExpr(left: Expression, right: Expression) extends BinaryExpression
   override def dataType: DataType = DoubleType
   override def nodeName: String = "graft_dot"
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    DotExpr.compute(x, y)
+    DotExpr.compute(x, y) // boxed; null when undefined (see compute)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.DotExpr.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""java.lang.Double ${ev.value}_boxed = graft.functions.DotExpr.compute($a, $b);
+         |if (${ev.value}_boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_boxed.doubleValue(); }
+         |""".stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotExpr =
     copy(left = newLeft, right = newRight)
 }
 
 object DotExpr {
-  def compute(x: ArrayData, y: ArrayData): Double = {
-    val n = math.min(x.numElements(), y.numElements())
+  /** Null (not a partial sum) on length mismatch or null elements —
+    * the same answer the composed `aggregate(zip_with(...))` form
+    * gives, so swapping implementations never changes results.
+    */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }

@@ -67,6 +67,10 @@ object AsOf {
       key: String, leftTs: String, rightTs: String,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // SQL join semantics: null-key right rows can never match (the
+    // union+window formulation would otherwise group them with
+    // null-key LEFT rows, which a real join never does)
+    val rightNonNull = right.filter(col(key).isNotNull)
     // unified layout: key, __ts, __side (0 = right sorts first on tie),
     // left payload nulled on right rows and vice versa
     val l = left
@@ -75,7 +79,7 @@ object AsOf {
       .select(Seq(col(key), col("__ts"), col("__side")) ++
         leftCols.filterNot(_ == key).map(col) ++
         valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
-    val r = right
+    val r = rightNonNull
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__ts"), col("__side")) ++

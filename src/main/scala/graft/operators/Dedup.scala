@@ -145,8 +145,7 @@ object Dedup {
     "dd05_embed_cosine" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-        .withColumn("norm", sqrt(aggregate(
-          transform(col("emb"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .withColumn("norm", Similarity.l2norm(col("emb")))
       val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
       val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
       a.join(b, Seq("label"))

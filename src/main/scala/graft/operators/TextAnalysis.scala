@@ -130,6 +130,7 @@ object TextAnalysis {
     // 4-gram window, distinct mins = the document's fingerprint set
     "tx08_winnowing" -> { (s, d) =>
       Tables.documents(s, d)
+        .filter(length(col("text")) >= 11) // 8-gram + 4-window needs >= 11 chars
         .withColumn("gh", transform(
           sequence(lit(0), length(col("text")) - 8),
           i => Hashing.hash64(col("text").substr(i + 1, lit(8)))))
@@ -214,7 +215,7 @@ object TextAnalysis {
          |  FROM (
          |    SELECT doc_id, list_transform(range(length(text) - 7),
          |      i -> ${Hashing.duckHash64("substr(text, i + 1, 8)")}) AS gh
-         |    FROM documents))
+         |    FROM documents WHERE length(text) >= 11))
          |ORDER BY doc_id""".stripMargin,
 
     "tx06_collect_tokens" ->

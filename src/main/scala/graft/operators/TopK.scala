@@ -24,7 +24,11 @@ class TopKAggregator(k: Int)
     if (s.size <= k) s else s.sorted(ord.reverse).take(k)
 
   override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
-    trim(buf :+ in)
+    if (buf.size < k) buf :+ in
+    // fast path once full: most rows lose to the current minimum and
+    // are dropped in O(k) without re-sorting
+    else if (ord.lteq(in, buf.minBy(identity)(ord))) buf
+    else trim(buf :+ in)
 
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)

@@ -90,25 +90,33 @@ case class AsOfJoinExec(
       lIt.map { lRow =>
         val lKey = lRow.get(lKeyIdx, keyType)
         val lTs = lRow.get(lTsIdx, tsType)
-        // advance the right side through every row usable by this left
-        // row (r.key < l.key just moves the cursor; equal key with
-        // r.ts <= l.ts updates the carried value)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rKey = rRow.get(rKeyIdx, keyType)
-          val cmp = keyOrd.compare(rKey, lKey)
-          if (cmp < 0) { rBuf.next(); advancing = true }
-          else if (cmp == 0 && tsOrd.compare(rRow.get(rTsIdx, tsType), lTs) <= 0) {
-            carriedKey = rKey
-            carriedValues = valueProj(rRow).copy()
-            rBuf.next()
-          } else advancing = false
+        // SQL join semantics: a null key matches nothing. Null-key
+        // right rows sort first (nulls-first) and are skipped; a
+        // null-key left row takes the null values without moving the
+        // cursor.
+        if (lKey == null) {
+          outProj(joiner(lRow, nullRow))
+        } else {
+          // advance the right side through every row usable by this
+          // left row (null/lesser key just moves the cursor; equal key
+          // with r.ts <= l.ts updates the carried value)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rKey = rRow.get(rKeyIdx, keyType)
+            val cmp = if (rKey == null) -1 else keyOrd.compare(rKey, lKey)
+            if (cmp < 0) { rBuf.next(); advancing = true }
+            else if (cmp == 0 && tsOrd.compare(rRow.get(rTsIdx, tsType), lTs) <= 0) {
+              carriedKey = rKey
+              carriedValues = valueProj(rRow).copy()
+              rBuf.next()
+            } else advancing = false
+          }
+          val values =
+            if (carriedKey != null && keyOrd.compare(carriedKey, lKey) == 0) carriedValues
+            else nullRow
+          outProj(joiner(lRow, values))
         }
-        val values =
-          if (carriedKey != null && keyOrd.compare(carriedKey, lKey) == 0) carriedValues
-          else nullRow
-        outProj(joiner(lRow, values))
       }
     }
   }

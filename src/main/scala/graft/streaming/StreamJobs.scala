@@ -59,26 +59,43 @@ object StreamJobs {
   case class SessionOut(user_id: Long, n_events: Long, duration_sec: Long)
 
   /** Gap-based sessionization with explicit state — the streaming twin
-    * of batch ev09 (flatMapGroupsWithState, ProcessingTime timeout).
+    * of batch ev09. Uses a processing-time timeout of one gap so an
+    * idle key's final session is emitted and its state REMOVED —
+    * without the timeout, state grows with every key ever seen and the
+    * last session per key never flushes. (Batch runs invoke each key
+    * once and never time out; there the trailing open session is
+    * intentionally held back, matching the reference's behavior of
+    * only emitting completed work.)
     */
   def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
-          var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
-          val closed = scala.collection.mutable.ListBuffer[SessionOut]()
-          sorted.foreach { t =>
-            if (st.start < 0) st = SessionState(t, t, 1)
-            else if (t - st.last > gapSec) {
-              closed += SessionOut(user, st.n, st.last - st.start)
-              st = SessionState(t, t, 1)
-            } else st = st.copy(last = t, n = st.n + 1)
+          if (state.hasTimedOut) {
+            // idle key: close and evict
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, st.n, st.last - st.start))
+          } else {
+            val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
+            var st = state.getOption.getOrElse(SessionState(-1, -1, 0))
+            val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+            sorted.foreach { t =>
+              if (st.start < 0) st = SessionState(t, t, 1)
+              else if (t - st.last > gapSec) {
+                closed += SessionOut(user, st.n, st.last - st.start)
+                st = SessionState(t, t, 1)
+              } else st = st.copy(last = t, n = st.n + 1)
+            }
+            state.update(st)
+            if (!state.hasTimedOut) {
+              try state.setTimeoutDuration(gapSec * 1000)
+              catch { case _: UnsupportedOperationException => () } // batch: no timeouts
+            }
+            closed.iterator
           }
-          state.update(st)
-          closed.iterator
       }
   }
 

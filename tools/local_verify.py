@@ -45,7 +45,6 @@ for name in sorted(oracles):
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":
-            ok = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
             exact = (a.astype(float).fillna(1.5) == b.astype(float).fillna(1.5)).all()
             if not exact:
                 bad = f"col {c} float mismatch (first diff: " + str(
@@ -62,6 +61,5 @@ for name in sorted(oracles):
     else:
         print(f"OK   {name} ({len(spark_df)} rows)")
 
-missing = [n for n in oracles if n not in oracles]
 print(f"\n{len(oracles) - len(fails)}/{len(oracles)} queries match")
 sys.exit(1 if fails else 0)

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.functions.DotExpr
+import graft.operators.AsOf
+
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DotExpr yields null on length mismatch and null elements, like the composed form") {
+    val df = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0, 4.0)),      // ok
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](3.0)),           // length mismatch
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](3.0, 4.0)))     // null element
+      .toDF("a", "b")
+    val composed = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(DotExpr(col("a"), col("b")).as("n"), composed.as("c")).collect()
+    assert(rows(0).getDouble(0) === 11.0 && rows(0).getDouble(1) === 11.0)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).isNullAt(0) && rows(2).isNullAt(1))
+  }
+
+  test("as-of joins treat null keys with SQL join semantics (both impls)") {
+    val l = Seq(
+      (1L, java.lang.Long.valueOf(10L), Timestamp.valueOf("2024-01-01 01:00:00")),
+      (2L, null.asInstanceOf[java.lang.Long], Timestamp.valueOf("2024-01-01 01:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (java.lang.Long.valueOf(10L), Timestamp.valueOf("2024-01-01 00:30:00"), 1.5),
+      (null.asInstanceOf[java.lang.Long], Timestamp.valueOf("2024-01-01 00:40:00"), 9.9))
+      .toDF("user_id", "c_ts", "value")
+    def check(out: org.apache.spark.sql.DataFrame): Unit = {
+      val m = out.collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) null else row.getDouble(1))).toMap
+      assert(m(1L) === 1.5)   // normal match
+      assert(m(2L) == null)   // null key matches nothing (not the 9.9 null-key right row)
+    }
+    check(AsOf.joinAsOf(l, r, "user_id", "ts", "c_ts", Seq("value"))
+      .select(col("event_id"), col("asof_value")))
+    check(AsOf.joinAsOfNative(l, r, "user_id", "ts", "c_ts", Seq("value"))
+      .select(col("event_id"), col("asof_value")))
+  }
+
+  test("tx08 winnowing tolerates docs shorter than the gram+window span") {
+    // build a tiny documents table with degenerate texts and run the
+    // same expression pipeline via a temp parquet dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx08").toString
+    Seq((0L, "ab", "en", "s", 2L), (1L, "abcdefghij", "en", "s", 10L),
+      (2L, "abcdefghijk", "en", "s", 11L), (3L, "a longer document body here", "en", "s", 27L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("tx08_winnowing")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet === Set(2L, 3L)) // only len >= 11 survive
+    assert(out.forall(_.getInt(1) > 0))
+  }
+}

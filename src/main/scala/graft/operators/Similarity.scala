@@ -142,7 +142,7 @@ object Similarity {
 
     "ss02_ann_signlsh" ->
       s"""WITH e AS (
-         |  SELECT vec_id, emb, $duckNorm AS norm, $duckBucket AS bucket
+         |  SELECT vec_id, emb, $duckNorm AS norm, CAST($duckBucket AS BIGINT) AS bucket
          |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
          |q AS (SELECT emb AS q_emb, norm AS q_norm, bucket AS q_bucket FROM e WHERE vec_id = 0)
          |SELECT vec_id, bucket,

@@ -62,7 +62,7 @@ object TextAnalysis {
         .withColumn("stop_ratio", stopCount(col("toks")).cast("double") / col("n_tokens"))
         .withColumn("punct_ratio",
           regexp_count(col("text"), lit("[.,!?;:]")).cast("double") / length(col("text")))
-        .select(col("doc_id"), col("n_tokens"),
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           qualityScore(col("n_tokens"), col("stop_ratio"), col("punct_ratio")).as("quality"))
         .orderBy(col("doc_id"))
     },
@@ -96,7 +96,7 @@ object TextAnalysis {
       val b = vocab.select(col("tok").as("tok_b"))
       a.crossJoin(b)
         .filter(col("tok_a") < col("tok_b"))
-        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+        .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
         .filter(col("dist") <= 2)
         .orderBy(col("tok_a"), col("tok_b"))
     },
@@ -137,7 +137,7 @@ object TextAnalysis {
         .withColumn("mins", array_distinct(transform(
           sequence(lit(0), size(col("gh")) - 4),
           w => array_min(slice(col("gh"), w + 1, lit(4))))))
-        .select(col("doc_id"), size(col("mins")).as("n_fps"), array_min(col("mins")).as("min_fp"))
+        .select(col("doc_id"), size(col("mins")).cast("long").as("n_fps"), array_min(col("mins")).as("min_fp"))
         .orderBy(col("doc_id"))
     },
 

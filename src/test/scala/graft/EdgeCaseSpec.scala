@@ -53,6 +53,6 @@ class EdgeCaseSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("tx08_winnowing")(spark, dir).collect()
     assert(out.map(_.getLong(0)).toSet === Set(2L, 3L)) // only len >= 11 survive
-    assert(out.forall(_.getInt(1) > 0))
+    assert(out.forall(_.getLong(1) > 0))
   }
 }

@@ -99,6 +99,30 @@ object StreamJobs {
       }
   }
 
+  /** configs.rs SyncModeSubCommand re-expressed as source positioning:
+    * the reference resumes from interruption (checkpoint), from the
+    * latest block, or from a given height — exactly Structured
+    * Streaming's checkpoint/startingOffsets semantics.
+    */
+  sealed trait SyncMode
+  object SyncMode {
+    /** sync-from-interruption: resume from the checkpoint (no offset
+      * override — the checkpoint wins when present). */
+    case object FromInterruption extends SyncMode
+    /** sync-from-latest: start at the stream head on first run. */
+    case object FromLatest extends SyncMode
+    /** sync-from-block --height: explicit per-partition offsets. */
+    final case class FromOffsets(offsetsJson: String) extends SyncMode
+
+    /** Source options implementing the mode (kafka source shown;
+      * file sources only honor the checkpoint). */
+    def sourceOptions(mode: SyncMode): Map[String, String] = mode match {
+      case FromInterruption => Map.empty
+      case FromLatest => Map("startingOffsets" -> "latest")
+      case FromOffsets(json) => Map("startingOffsets" -> json)
+    }
+  }
+
   /** Kafka wiring (events.rs/configs.rs): source/sink option builders.
     * The kafka connector jar isn't in this container, so these return
     * configured readers/writers without starting them; on a cluster

@@ -52,6 +52,16 @@ class StreamJobsSpec extends SparkSpec {
     assert(out.head === StreamJobs.SessionOut(1, 2, 600))
   }
 
+  test("sync modes map to source positioning like the reference CLI") {
+    import StreamJobs.SyncMode
+    assert(SyncMode.sourceOptions(SyncMode.FromInterruption) === Map.empty)
+    assert(SyncMode.sourceOptions(SyncMode.FromLatest) ===
+      Map("startingOffsets" -> "latest"))
+    val offs = """{"near.events.all":{"0":1234}}"""
+    assert(SyncMode.sourceOptions(SyncMode.FromOffsets(offs)) ===
+      Map("startingOffsets" -> offs))
+  }
+
   test("kafka wiring builds cluster-shaped options without a broker") {
     val opts = StreamJobs.Kafka.clientOptions(Map(
       "bootstrap.servers" -> "b:9092", "security.protocol" -> "SASL_SSL"))

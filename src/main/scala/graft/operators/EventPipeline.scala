@@ -163,8 +163,10 @@ object EventPipeline {
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
       val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination() } finally { q.stop() }
       s.table(name)
         .orderBy(col("hour_ts"), col("event_type"))
     },

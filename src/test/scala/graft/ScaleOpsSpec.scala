@@ -59,6 +59,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(composed.exceptAll(native).count() === 0)
   }
 
+  test("binned range join equals the naive non-equi join") {
+    val ev = Tables.events(spark, sf)
+    val points = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    // intervals: [click ts, click ts + 45 min]
+    val ranges = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("range_id"), col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 45 MINUTES")).as("end_ts"))
+    val naive = points.join(ranges,
+      col("ts") >= col("start_ts") && col("ts") <= col("end_ts"))
+      .select(col("event_id"), col("range_id"))
+    val binned = graft.operators.RangeJoin
+      .binned(points, ranges, "ts", "start_ts", "end_ts", 1800)
+      .select(col("event_id"), col("range_id"))
+    assert(binned.count() === naive.count())
+    assert(binned.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(binned).count() === 0)
+    // and the binned plan avoids the nested-loop join
+    assert(!binned.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("saltedJoin returns exactly the plain join result") {
     val ev = Tables.events(spark, sf)
     val c = Tables.customer(spark, sf)

@@ -34,11 +34,15 @@ object Bench {
       em.select(graft.functions.DotExpr(col("e"), col("e")).as("d")).agg(sum(col("d"))).count()
     }
     // best-of-2 per query: machine-noise variance between single runs
-    // measured up to 1.6x; the min is the reproducible cost
+    // measured up to 1.6x; the min is the reproducible cost.
+    // Drive with a noop-format write, not count(): count() lets
+    // Catalyst prune the final project, so expression-heavy select
+    // lists would go untimed.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

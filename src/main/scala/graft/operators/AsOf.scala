@@ -71,28 +71,35 @@ object AsOf {
     // union+window formulation would otherwise group them with
     // null-key LEFT rows, which a real join never does)
     val rightNonNull = right.filter(col(key).isNotNull)
+    // Carry ONE struct of all valueCols, null only on LEFT rows: a
+    // right row whose values are genuinely NULL still contributes a
+    // non-null struct, so last(ignoreNulls) picks the latest right ROW
+    // atomically — per-column carry would skip real NULLs and could
+    // mix fields from different right rows.
+    val structType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
     // unified layout: key, __ts, __side (0 = right sorts first on tie),
     // left payload nulled on right rows and vice versa
     val l = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+        leftCols.filterNot(_ == key).map(col) :+
+        lit(null).cast(structType).as("__v"): _*)
     val r = rightNonNull
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .select(Seq(col(key), col("__ts"), col("__side")) ++
-        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+        leftCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(valueCols.map(col): _*).as("__v"): _*)
     val w = Window.partitionBy(col(key))
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__v_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__v", last(col("__v"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
-        valueCols.map(c => col(s"__v_$c").as(s"asof_$c")): _*)
+        valueCols.map(c => col("__v").getField(c).as(s"asof_$c")): _*)
   }
 }

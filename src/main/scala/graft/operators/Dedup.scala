@@ -69,6 +69,22 @@ object Dedup {
 
   val SimhashBits = 24
 
+  /** Materialization barrier for signature tables that are self-joined
+    * (without it each join side re-runs the whole md5-shingle pipeline).
+    * Caches from the PREVIOUS invocation are released here so repeated
+    * queries in one long-lived session don't accumulate executor
+    * memory; unpersisting a frame a caller still holds merely degrades
+    * to recompute, never to wrong results.
+    */
+  private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def barrier(df: DataFrame): DataFrame = {
+    var old = liveCaches.poll()
+    while (old != null) { old.unpersist(blocking = false); old = liveCaches.poll() }
+    val p = df.persist()
+    liveCaches.add(p)
+    p
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groupBy, keeper = min id
     "dd01_exact" -> { (s, d) =>
@@ -87,9 +103,8 @@ object Dedup {
     // the join key) re-evaluates the whole md5-shingle pipeline —
     // at scale this is the "materialize the signature table" step.
     "dd02_ngram_jaccard" -> { (s, d) =>
-      val ds = docShingles(s, d)
-        .withColumn("bucket", array_min(col("shs")))
-        .persist()
+      val ds = barrier(docShingles(s, d)
+        .withColumn("bucket", array_min(col("shs"))))
       val a = ds.select(col("bucket"), col("doc_id").as("doc_a"), col("shs").as("sh_a"))
       val b = ds.select(col("bucket"), col("doc_id").as("doc_b"), col("shs").as("sh_b"))
       a.join(b, Seq("bucket"))
@@ -111,11 +126,10 @@ object Dedup {
       val bandCols = (0 until Bands).map(b =>
         Hashing.hash64(concat_ws(",",
           (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)))
-      val banded = sig
+      val banded = barrier(sig
         .select(col("doc_id"), posexplode(array(bandCols: _*)))
         .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_hash")
-        .persist()
+        .withColumnRenamed("col", "band_hash"))
       val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
       l.join(r, Seq("band", "band_hash"))

@@ -107,7 +107,9 @@ case class AsOfJoinExec(
             val cmp = if (rKey == null) -1 else keyOrd.compare(rKey, lKey)
             if (cmp < 0) { rBuf.next(); advancing = true }
             else if (cmp == 0 && tsOrd.compare(rRow.get(rTsIdx, tsType), lTs) <= 0) {
-              carriedKey = rKey
+              // the sorted right iterator reuses UnsafeRow buffers, so
+              // both the carried key and values must be deep-copied
+              carriedKey = InternalRow.copyValue(rKey)
               carriedValues = valueProj(rRow).copy()
               rBuf.next()
             } else advancing = false

@@ -59,6 +59,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(composed.exceptAll(native).count() === 0)
   }
 
+  test("as-of join: string keys survive buffer reuse; NULL values carry atomically") {
+    // String keys stress UnsafeRow buffer reuse in the sorted right
+    // reader (a carried key held by reference would mutate after
+    // advancing); NULL right values must be carried as the latest
+    // row's NULL, not skipped for an older non-null, and multi-column
+    // carries must stay atomic per right row.
+    val l = spark.range(0, 300)
+      .select(concat(lit("k"), lpad((col("id") % 50).cast("string"), 3, "0")).as("k"),
+        (col("id") * 7 % 200).as("ts"), col("id").as("lid"))
+    val r = spark.range(0, 200)
+      .select(concat(lit("k"), lpad((col("id") % 60).cast("string"), 3, "0")).as("k"),
+        col("id").as("rts"),
+        when(col("id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("v"), col("id"))).as("v"),
+        col("id").as("rid"))
+    val naive = l.join(r, Seq("k"), "left")
+      .filter(col("rts").isNull || col("rts") <= col("ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lid")).orderBy(col("rts").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .select(col("lid"), col("v").as("asof_v"), col("rid").as("asof_rid"))
+    // the filter above drops left rows with a key match but no rts<=ts row;
+    // restore them with a null-extending join back to l
+    val naiveFull = l.select(col("lid")).join(naive, Seq("lid"), "left")
+    val composed = graft.operators.AsOf
+      .joinAsOf(l, r, "k", "ts", "rts", Seq("v", "rid"))
+      .select(col("lid"), col("asof_v"), col("asof_rid"))
+    val native = graft.operators.AsOf
+      .joinAsOfNative(l, r, "k", "ts", "rts", Seq("v", "rid"))
+      .select(col("lid"), col("asof_v"), col("asof_rid"))
+    assert(composed.count() === 300)
+    assert(composed.exceptAll(naiveFull).count() === 0)
+    assert(naiveFull.exceptAll(composed).count() === 0)
+    // Run the native exec with forced sort spills: spilled sort
+    // readers reuse a per-record buffer, so a carried key held by
+    // reference (not copied) visibly corrupts here. The threshold is
+    // read from SparkEnv.conf at each sorter's creation, so in local
+    // mode this takes effect without a new context.
+    val envConf = org.apache.spark.SparkEnv.get.conf
+    val spillKey = "spark.shuffle.spill.numElementsForceSpillThreshold"
+    envConf.set(spillKey, "8")
+    try {
+      assert(native.count() === 300)
+      assert(native.exceptAll(naiveFull).count() === 0)
+      assert(naiveFull.exceptAll(native).count() === 0)
+    } finally envConf.remove(spillKey)
+    // the NULL-carry path is genuinely exercised: some row's latest
+    // version is NULL while an older non-null version exists
+    assert(naiveFull.filter(col("asof_v").isNull && col("asof_rid").isNotNull).count() > 0)
+  }
+
   test("binned range join equals the naive non-equi join") {
     val ev = Tables.events(spark, sf)
     val points = ev.filter(col("event_type") === "purchase")

@@ -38,6 +38,13 @@ object Tables {
       case _ => raw
     }
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  /** Every `documents` consumer runs expensive per-row text compute
+    * (md5 shingling, regex tokenization, winnowing), so the loader
+    * scatters rows across cores up front ([[Par.scatter]]) — the
+    * driver-written single-row-group parquet would otherwise pin the
+    * whole text pipeline to one scan task.
+    */
+  def documents(s: SparkSession, d: String): DataFrame =
+    Par.scatter(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,0 +1,421 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.{Det, Hashing}
+
+/** Round-2 coverage: training-data curation + analytics operators
+  * beyond the round-1 inventory (SURVEY.md §2).
+  *
+  * Everything here follows the same scale posture as the round-1
+  * operators: candidate generation is bucket-join (never cross join),
+  * per-row logic is codegen'd `functions._` expressions, float
+  * aggregates go through decimal-exact sums so the DuckDB oracle
+  * hash-matches, and iterative algorithms (connected components)
+  * checkpoint between rounds so lineage stays bounded.
+  */
+object Curation {
+
+  /** Token-budget sequence packing (LLM pretraining batch shaping):
+    * documents are streamed per language in doc_id order, token counts
+    * accumulate, and each doc is assigned to the pack its FIRST token
+    * lands in — the concat-and-slice packing layout. Window cumsum =
+    * one shuffle per language partition; at 100 TB the lang partition
+    * key becomes (lang, shard) to bound partition width.
+    */
+  val PackBudget = 512L
+
+  /** Regex scrub (PII-redaction shape): count + replace pattern hits,
+    * fingerprint the redacted text so the rewrite itself is verified.
+    * The gated query scrubs policy terms the corpus exercises; for
+    * real PII swap the pattern for digit-run/email regexes.
+    */
+  val ScrubPattern = "\\b(customer|value)\\b"
+  val DuckScrubPattern = "\\b(customer|value)\\b"
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- pk01: token-budget sequence packing -------------------------
+    "pk01_token_packing" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / lit(PackBudget)).cast("long"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("lang"), col("pack_id"))
+    },
+
+    // --- tx09: repetition signals (Gopher-style quality filter) ------
+    "tx09_repetition" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("toks"))
+        .withColumn("n_tokens", size(col("toks")))
+        .filter(col("n_tokens") >= 8)
+        .withColumn("bigrams", transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+        .withColumn("dup_bigram_frac", Det.trunc4(
+          lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") / size(col("bigrams"))))
+      base
+        .select(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"),
+          explode(col("toks")).as("tok"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("n_tokens"), col("dup_bigram_frac"))
+        .agg(max(col("c")).as("top_c"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          Det.trunc4(col("top_c") / col("n_tokens")).as("top_token_frac"),
+          col("dup_bigram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // --- tx10: regex scrub / redaction census ------------------------
+    "tx10_regex_scrub" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_red", regexp_count(col("text"), lit(ScrubPattern)).cast("long"))
+        .withColumn("red_fp",
+          Hashing.hash64(regexp_replace(col("text"), ScrubPattern, "<X>")))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_red") > 0, 1L).otherwise(0L)).as("n_docs_redacted"),
+          sum(col("n_red")).as("n_redactions"),
+          expr("bit_xor(red_fp)").as("fp_xor"))
+        .orderBy(col("source"))
+    },
+
+    // --- q24: GROUPING SETS ------------------------------------------
+    "q24_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("g_orders_gs")
+      s.sql(
+        """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+          |       COALESCE(o_orderstatus, 'ALL') AS status,
+          |       COUNT(*) AS n_orders,
+          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+          |FROM g_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+          |ORDER BY priority, status""".stripMargin)
+    },
+
+    // --- q25: correlation/covariance from decimal-exact moments ------
+    "q25_corr_moments" -> { (s, d) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast("decimal(18,6)")).cast("double").as("sx"),
+          sum(y.cast("decimal(18,6)")).cast("double").as("sy"),
+          sum((x * x).cast("decimal(28,6)")).cast("double").as("sx2"),
+          sum((y * y).cast("decimal(30,6)")).cast("double").as("sy2"),
+          sum((x * y).cast("decimal(28,6)")).cast("double").as("sxy"))
+        .select(
+          col("l_returnflag"), col("n"),
+          Det.trunc4(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sx2") - col("sx") * col("sx")) *
+                 (col("n") * col("sy2") - col("sy") * col("sy")))).as("corr"),
+          Det.trunc4(
+            (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)).as("covar"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // --- q26: deterministic hash sampling ----------------------------
+    // The 100 TB subsampling primitive: a stable hash of the row key
+    // modulo 100 picks a reproducible p% sample with no RNG state, no
+    // seed coordination across executors, and pushdown-friendly shape.
+    "q26_hash_sample" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(pmod(Hashing.hash64(concat_ws(":",
+          col("l_orderkey").cast("string"), col("l_linenumber").cast("string"))), lit(100)) < 5)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // --- dd06: near-dup clusters (connected components) --------------
+    // Candidate pairs (dd02 semantics) → undirected edges → iterative
+    // min-label propagation to a fixpoint. Each round is one
+    // shuffle-join + aggregate; localCheckpoint truncates lineage so
+    // round N doesn't replay rounds 1..N-1. Near-dup graphs are
+    // star-shaped, so convergence is O(longest chain) rounds — at
+    // 100 TB this is the standard large/small-star CC with the same
+    // join shape.
+    "dd06_dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.queries("dd02_ngram_jaccard")(s, d)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+      var comp = edges.select(col("src").as("node")).distinct()
+        .withColumn("comp", col("node"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 30) {
+        val nbr = edges.join(comp, edges("dst") === comp("node"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+        val next = comp.join(nbr, comp("node") === nbr("src"), "left")
+          .select(comp("node").as("node"),
+            least(comp("comp"), coalesce(col("nbr_comp"), comp("comp"))).as("new_comp"),
+            comp("comp").as("old_comp"))
+          .localCheckpoint()
+        changed = next.filter(col("new_comp") < col("old_comp")).count()
+        comp = next.select(col("node"), col("new_comp").as("comp"))
+        rounds += 1
+      }
+      comp.groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // --- ev16: dead-letter split under the oracle --------------------
+    // The reference logs-and-drops invalid events (events.rs:310-340);
+    // the scalable analog routes them to a dead-letter frame. Inject a
+    // deterministic corruption (every 7th event gets an illegal name
+    // char) and census both sides of the split.
+    "ev16_dead_letter" -> { (s, d) =>
+      val ev = graft.core.Par.scatter(Tables.events(s, d))
+      val logs = ev.select(
+        concat(
+          lit("EVENT_JSON:{\"standard\":\"app\",\"version\":\"1.0.0\",\"event\":\""),
+          when(pmod(col("event_id"), lit(7)) === 0,
+            concat(col("event_type"), lit("!"))).otherwise(col("event_type")),
+          lit("\",\"data\":"), col("props"), lit("}")).as("log"),
+        concat(lit("r"), col("event_id")).as("receipt_id"),
+        col("ts").cast("long").as("block_timestamp"),
+        col("event_id").as("block_height"),
+        pmod(col("user_id"), lit(4)).as("shard_id"),
+        concat(lit("c"), col("user_id")).as("contract_account_id"))
+      val (ok, dead) = graft.streaming.EventStreams.extractWithDeadLetter(logs)
+      ok.select(lit("valid").as("status"), col("event"))
+        .unionByName(dead.select(lit("dead").as("status"), col("event")))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_events"), countDistinct(col("event")).as("n_names"))
+        .orderBy(col("status"))
+    },
+
+    // --- ev17: interval join via binned equi-join --------------------
+    // Purchases pick up all same-user clicks in the prior 30 minutes.
+    // RangeJoin.binned turns the non-equi predicate into an equi-join
+    // on (user_id, time-bin) — one shuffle, no nested loop.
+    "ev17_interval_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("end_ts"), col("value"))
+      RangeJoin.binned(purchases, clicks, "ts", "start_ts", "end_ts", 1800L, Seq("user_id"))
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // --- ss04: k-means assignment step (IVF quantizer training) ------
+    // Per-label centroid from decimal-exact per-dimension sums (order-
+    // independent), then every vector scored against its centroid.
+    // This is the E-step that trains the ss03 IVF coarse quantizer; at
+    // scale the posexplode aggregation is one shuffle on (label, dim)
+    // and the centroid table broadcasts.
+    "ss04_kmeans_assign" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      val dims = e.select(col("label"), posexplode(col("emb")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,10)")).cast("double") / count(lit(1))).as("c"))
+      val cents = dims.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cent"))
+        .withColumn("c_norm", Similarity.l2norm(col("cent")))
+      e.withColumn("norm", Similarity.l2norm(col("emb")))
+        .join(broadcast(cents), Seq("label"))
+        .withColumn("cos",
+          Similarity.dot(col("emb"), col("cent")) / (col("norm") * col("c_norm")))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          Det.trunc4(max(col("c_norm"))).as("centroid_norm"),
+          Det.trunc4(sum(col("cos").cast("decimal(18,8)")).cast("double") / count(lit(1))).as("avg_cos"))
+        .orderBy(col("label"))
+    },
+
+    // --- mm03: binary chunking (frame-sample plumbing) ---------------
+    // Fixed-size chunk split over opaque binary payloads — the shape of
+    // frame sampling / shard-chunk upload. Chunk slicing happens on the
+    // binary column (no string round-trip); digests verify the slices.
+    "mm03_chunk_digest" -> { (s, d) =>
+      val ascii = Tables.documents(s, d)
+        .filter(length(col("text")) > 0 && col("text").rlike("^[\\x00-\\x7F]*$"))
+      Multimodal.asMedia(ascii)
+        .withColumn("n_chunks", ceil(col("byte_len").cast("double") / 64.0).cast("long"))
+        .withColumn("ci", explode(sequence(lit(0L), col("n_chunks") - 1)))
+        .withColumn("digest",
+          md5(col("payload").substr((col("ci") * 64 + 1).cast("int"), lit(64))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("digest")).as("n_uniq_chunks"),
+          min(col("digest")).as("min_digest"))
+        .orderBy(col("source"))
+    }
+  )
+
+  private val duckToks = """string_split_regex(trim(text), '\s+')"""
+
+  def oracles: Map[String, String] = Map(
+    "pk01_token_packing" ->
+      s"""SELECT lang, CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS pack_id,
+         | COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+         |FROM (
+         |  SELECT lang, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM (SELECT lang, doc_id, len($duckToks) AS n_tokens FROM documents))
+         |GROUP BY lang, pack_id ORDER BY lang, pack_id""".stripMargin,
+
+    "tx09_repetition" ->
+      s"""SELECT doc_id, n_tokens,
+         | floor((top_c / n_tokens) * 10000) / 10000 AS top_token_frac,
+         | dup_bigram_frac
+         |FROM (
+         |  SELECT doc_id, n_tokens, dup_bigram_frac, MAX(c) AS top_c FROM (
+         |    SELECT doc_id, n_tokens, dup_bigram_frac, tok, COUNT(*) AS c FROM (
+         |      SELECT doc_id, n_tokens,
+         |        floor((1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE) / len(bigrams)) * 10000) / 10000 AS dup_bigram_frac,
+         |        unnest(toks) AS tok
+         |      FROM (
+         |        SELECT doc_id, toks, len(toks) AS n_tokens,
+         |          list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS bigrams
+         |        FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+         |        WHERE len(toks) >= 8))
+         |    GROUP BY doc_id, n_tokens, dup_bigram_frac, tok)
+         |  GROUP BY doc_id, n_tokens, dup_bigram_frac)
+         |ORDER BY doc_id""".stripMargin,
+
+    "tx10_regex_scrub" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         | CAST(SUM(CASE WHEN n_red > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+         | CAST(SUM(n_red) AS BIGINT) AS n_redactions,
+         | bit_xor(red_fp) AS fp_xor
+         |FROM (
+         |  SELECT source,
+         |    len(regexp_extract_all(text, '$DuckScrubPattern')) AS n_red,
+         |    ${Hashing.duckHash64(s"regexp_replace(text, '$DuckScrubPattern', '<X>', 'g')")} AS red_fp
+         |  FROM documents)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q24_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY priority, status""".stripMargin,
+
+    "q25_corr_moments" ->
+      """SELECT l_returnflag, n,
+        | floor(((n * sxy - sx * sy) /
+        |   sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))) * 10000) / 10000 AS corr,
+        | floor(((sxy - sx * sy / n) / (n - 1)) * 10000) / 10000 AS covar
+        |FROM (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy2,
+        |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q26_hash_sample" -> {
+      val h = Hashing.duckHash64(
+        "concat_ws(':', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))")
+      s"""SELECT l_returnflag, COUNT(*) AS n_lines,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE $h % 100 < 5
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
+    "dd06_dedup_clusters" -> {
+      // pairs = the dd02 oracle (same candidate + threshold semantics)
+      val dd02 = Dedup.oracles("dd02_ngram_jaccard")
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM ($dd02)
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), walk(node, reach) AS (
+         |  SELECT src, dst FROM edges UNION SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+         |)
+         |SELECT cluster_id, COUNT(*) AS n_members, MAX(node) AS max_member FROM (
+         |  SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node)
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+
+    "ev16_dead_letter" ->
+      """SELECT status, COUNT(*) AS n_events, COUNT(DISTINCT name) AS n_names FROM (
+        |  SELECT CASE WHEN event_id % 7 = 0 THEN 'dead' ELSE 'valid' END AS status,
+        |         CASE WHEN event_id % 7 = 0 THEN event_type || '!' ELSE event_type END AS name
+        |  FROM events)
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "ev17_interval_join" ->
+      """SELECT p.event_id, COUNT(*) AS n_overlaps,
+        | CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts, value
+        |      FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.start_ts AND p.ts <= c.end_ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin,
+
+    "ss04_kmeans_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |dims AS (
+        |  SELECT label, i, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+        |  FROM (SELECT label, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS v FROM e)
+        |  GROUP BY label, i),
+        |cents AS (
+        |  SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label),
+        |cn AS (
+        |  SELECT label, cent, sqrt(list_sum(list_transform(cent, x -> x * x))) AS c_norm
+        |  FROM cents),
+        |j AS (
+        |  SELECT e.label, cn.c_norm,
+        |    list_sum(list_transform(range(len(e.emb)), i -> e.emb[i+1] * cn.cent[i+1]))
+        |      / (sqrt(list_sum(list_transform(e.emb, x -> x * x))) * cn.c_norm) AS cos
+        |  FROM e JOIN cn ON e.label = cn.label)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  floor(MAX(c_norm) * 10000) / 10000 AS centroid_norm,
+        |  floor((CAST(SUM(CAST(cos AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) * 10000) / 10000 AS avg_cos
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    "mm03_chunk_digest" ->
+      """SELECT source, COUNT(*) AS n_chunks,
+        | COUNT(DISTINCT digest) AS n_uniq_chunks, MIN(digest) AS min_digest
+        |FROM (
+        |  SELECT source,
+        |    unnest(list_transform(range(CAST(ceil(strlen(text) / 64.0) AS BIGINT)),
+        |      ci -> md5(substr(text, CAST(ci * 64 + 1 AS INT), 64)))) AS digest
+        |  FROM documents
+        |  WHERE length(text) > 0 AND regexp_matches(text, '^[\x00-\x7F]*$'))
+        |GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -188,7 +188,10 @@ object EventPipeline {
     // envelope parse, emit_info attachment, to_key/to_topic and the
     // catch-all fanout (events.rs full path).
     "ev13_pipeline_e2e" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      // JSON render + parse + regex validation per row is the hot loop
+      // here — scatter the narrow input so it runs on every core
+      // instead of inheriting the scan's split count
+      val ev = graft.core.Par.scatter(Tables.events(s, d))
       val logs = ev.select(
         concat(
           lit("EVENT_JSON:{\"standard\":\"app\",\"version\":\"1.0.0\",\"event\":\""),

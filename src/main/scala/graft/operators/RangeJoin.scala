@@ -20,17 +20,21 @@ object RangeJoin {
   /** @param left     point side, `tsCol` a timestamp column
     * @param right    interval side with `startCol`/`endCol` timestamps
     * @param binSec   bin width in seconds
+    * @param keys     extra equi-join keys (present on both sides) —
+    *                 keyed interval joins shuffle on (keys, bin), so
+    *                 co-keyed rows land together and cross-key pairs
+    *                 are never materialized
     */
   def binned(
       left: DataFrame, right: DataFrame,
       tsCol: String, startCol: String, endCol: String,
-      binSec: Long): DataFrame = {
+      binSec: Long, keys: Seq[String] = Nil): DataFrame = {
     val l = left.withColumn("__bin", floor(col(tsCol).cast("long") / binSec))
     val r = right.withColumn("__bin",
       explode(sequence(
         floor(col(startCol).cast("long") / binSec),
         floor(col(endCol).cast("long") / binSec))))
-    l.join(r, Seq("__bin"))
+    l.join(r, keys :+ "__bin")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
   }

@@ -162,11 +162,20 @@ object EventPipeline {
       val agg = ev
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination() } finally { q.stop() }
+      // stateful agg state is tiny ((hour, type) cardinality) but each
+      // shuffle partition carries a state-store instance with per-batch
+      // commit overhead — run the stream with a few state partitions
+      // instead of the session's 32 (the conf is captured at stream
+      // start, so the session value can be restored immediately)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(name)
         .orderBy(col("hour_ts"), col("event_type"))
     },
@@ -233,6 +242,72 @@ object EventPipeline {
       AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "c_ts", Seq("value"))
         .select(col("event_id"), col("asof_value"))
         .orderBy(col("event_id"))
+    },
+
+    // stats.rs:36-56 lag-to-tip: per-window processing rate + blocks
+    // behind the tip + estimated catch-up time. The tip (global max
+    // height) is a scalar broadcast — at 100 TB this is the one
+    // permissible "global" aggregate because it reduces to 8 bytes.
+    "ev18_lag_stats" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val tip = ev.agg(max(col("event_id")).as("tip"))
+      ev.groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(count(lit(1)).as("n_blocks"), max(col("event_id")).as("last_height"))
+        .crossJoin(broadcast(tip))
+        .select(
+          col("hour_ts"), col("n_blocks"),
+          graft.functions.Det.trunc(col("n_blocks") / lit(3600.0), 6).as("bps"),
+          (col("tip") - col("last_height")).as("lag_blocks"),
+          graft.functions.Det.trunc(
+            (col("tip") - col("last_height")) / (col("n_blocks") / lit(3600.0)), 2).as("catchup_sec"))
+        .orderBy(col("hour_ts"))
+    },
+
+    // the ev13 pipeline run THROUGH Structured Streaming: readStream →
+    // log render → extract → validate → kafka-record fanout → per-topic
+    // census in complete mode — the reference's continuous delivery
+    // path on the streaming engine, gated by the same oracle as ev13.
+    "ev19_stream_pipeline" -> { (s, d) =>
+      val name = "graft_ev19_mem"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val logs = ev.repartition(4).select(
+        concat(
+          lit("EVENT_JSON:{\"standard\":\"app\",\"version\":\"1.0.0\",\"event\":\""),
+          col("event_type"), lit("\",\"data\":"), col("props"), lit("}")).as("log"),
+        concat(lit("r"), col("event_id")).as("receipt_id"),
+        col("ts").cast("long").as("block_timestamp"),
+        col("event_id").as("block_height"),
+        pmod(col("user_id"), lit(4)).as("shard_id"),
+        concat(lit("c"), col("user_id")).as("contract_account_id"))
+      val events = graft.streaming.EventStreams.validated(
+        graft.streaming.EventStreams.extractEvents(logs))
+      // streaming disallows distinct aggregates: keep the stream's
+      // state at (topic, key) granularity (bounded by key cardinality)
+      // and fold the tiny snapshot to the census in batch — the same
+      // split a compacted-topic census uses
+      val agg = graft.streaming.EventStreams
+        .toKafkaRecords(events, TopicPrefix, s"$TopicPrefix.all")
+        .groupBy(col("topic"), col("key"))
+        .agg(count(lit(1)).as("n"))
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name)
+        .groupBy(col("topic"))
+        .agg(sum(col("n")).as("n_records"), count(lit(1)).as("n_keys"))
+        .orderBy(col("topic"))
     },
 
     // signup→purchase conversion funnel
@@ -373,6 +448,28 @@ object EventPipeline {
         |                WHERE event_type = 'click') r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "ev18_lag_stats" ->
+      """SELECT hour_ts, n_blocks,
+        | floor((n_blocks / 3600.0) * 1000000) / 1000000 AS bps,
+        | tip - last_height AS lag_blocks,
+        | floor(((tip - last_height) / (n_blocks / 3600.0)) * 100) / 100 AS catchup_sec
+        |FROM (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n_blocks,
+        |    MAX(event_id) AS last_height
+        |  FROM events GROUP BY 1),
+        |  (SELECT MAX(event_id) AS tip FROM events)
+        |ORDER BY hour_ts""".stripMargin,
+
+    "ev19_stream_pipeline" ->
+      """SELECT topic, COUNT(*) AS n_records,
+        | COUNT(DISTINCT key) AS n_keys
+        |FROM (
+        |  SELECT 'near.events.app.' || event_type AS topic,
+        |         'c' || user_id AS key FROM events
+        |  UNION ALL
+        |  SELECT 'near.events.all' AS topic, 'c' || user_id AS key FROM events)
+        |GROUP BY topic ORDER BY topic""".stripMargin,
 
     "ev10_event_funnel" ->
       """SELECT (SELECT COUNT(*) FROM (

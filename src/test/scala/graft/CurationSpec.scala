@@ -107,6 +107,23 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ev19 streaming pipeline census equals the ev13 batch census") {
+    val streaming = SparkEntry.queries("ev19_stream_pipeline")(spark, sf)
+    val batch = SparkEntry.queries("ev13_pipeline_e2e")(spark, sf)
+      .withColumnsRenamed(Map.empty[String, String])
+    assert(streaming.collect().toSeq === batch.collect().toSeq)
+  }
+
+  test("ev18 lag stats: rates positive, lag zero only at the tip window") {
+    val rows = SparkEntry.queries("ev18_lag_stats")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bps") > 0.0)
+      assert(r.getAs[Long]("lag_blocks") >= 0L)
+    }
+    assert(rows.count(_.getAs[Long]("lag_blocks") == 0L) >= 1)
+  }
+
   test("mm03 chunk counts equal per-doc ceil(bytes/64)") {
     val expected = Tables.documents(spark, sf)
       .filter(length(col("text")) > 0 && col("text").rlike("^[\\x00-\\x7F]*$"))

@@ -109,7 +109,10 @@ object Curation {
     "q25_corr_moments" -> { (s, d) =>
       val x = col("l_quantity")
       val y = col("l_extendedprice")
-      Tables.lineitem(s, d)
+      // BigDecimal partial sums are the hot loop — scatter the 3
+      // needed columns so the partial agg runs on every core
+      graft.core.Par.scatter(Tables.lineitem(s, d)
+          .select(col("l_returnflag"), x, y))
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),

@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -56,7 +57,7 @@ private class BlockTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_blocks"
   override def schema(): StructType = BlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(opts.asCaseSensitiveMap())
@@ -75,18 +76,78 @@ private class BlockScanBuilder(options: CaseInsensitiveStringMap)
   override def readSchema(): StructType = BlockSource.schema
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val per = math.max(1L, (n + parts - 1) / parts)
-    (0 until parts).iterator
-      .map(i => BlockRange(start + i * per, math.min(start + (i + 1) * per, start + n), logsPerBlock))
-      .filter(r => r.from < r.until)
-      .map(_.asInstanceOf[InputPartition]).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    BlockRange.split(start, start + n, parts, logsPerBlock)
 
   override def createReaderFactory(): PartitionReaderFactory = new BlockReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new BlockMicroBatchStream(start, start + n, logsPerBlock, parts,
+      options.getLong("blocksPerBatch", 25L))
 }
 
 private case class BlockRange(from: Long, until: Long, logsPerBlock: Int) extends InputPartition
+
+private object BlockRange {
+  def split(from: Long, until: Long, parts: Int, logsPerBlock: Int): Array[InputPartition] = {
+    val n = until - from
+    val per = math.max(1L, (n + parts - 1) / parts)
+    (0 until parts).iterator
+      .map(i => BlockRange(from + i * per, math.min(from + (i + 1) * per, until), logsPerBlock))
+      .filter(r => r.from < r.until)
+      .map(_.asInstanceOf[InputPartition]).toArray
+  }
+}
+
+/** Height offset for the streaming block source: the chain position IS
+  * the offset, exactly the reference's sync-mode coordinate
+  * (configs.rs SyncModeSubCommand — from-interruption = checkpointed
+  * offset, from-block --height = `startHeight` option).
+  */
+private case class HeightOffset(h: Long) extends Offset {
+  override def json: String = h.toString
+}
+
+/** MicroBatchStream over the synthetic chain: each batch admits at
+  * most `blocksPerBatch` heights ([[SupportsAdmissionControl]]), the
+  * batch's height range splits into the same [[BlockRange]] partitions
+  * the batch scan uses, and Trigger.AvailableNow drains to the chain
+  * tip then stops ([[SupportsTriggerAvailableNow]]). Restarting from a
+  * checkpoint resumes at the committed height — the reference's
+  * sync-from-interruption.
+  */
+private class BlockMicroBatchStream(
+    start: Long, endOfChain: Long, logsPerBlock: Int, parts: Int, perBatch: Long)
+  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  override def initialOffset(): Offset = HeightOffset(start)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val from = startOffset.asInstanceOf[HeightOffset].h
+    HeightOffset(math.min(from + perBatch, endOfChain))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def reportLatestOffset(): Offset = HeightOffset(endOfChain)
+
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(startOff: Offset, endOff: Offset): Array[InputPartition] =
+    BlockRange.split(
+      startOff.asInstanceOf[HeightOffset].h,
+      endOff.asInstanceOf[HeightOffset].h,
+      parts, logsPerBlock)
+
+  override def createReaderFactory(): PartitionReaderFactory = new BlockReaderFactory
+
+  override def deserializeOffset(json: String): Offset = HeightOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class BlockReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

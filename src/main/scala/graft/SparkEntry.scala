@@ -11,9 +11,13 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The flagship is the reference's own pipeline end-to-end:
+    * EVENT_JSON extraction → validation → kafka-record fanout census
+    * (events.rs full path).
+    */
   def entry(spark: SparkSession): DataFrame =
-    CoreAnalytics.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    EventPipeline.queries("ev13_pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreAnalytics.queries ++ EventPipeline.queries ++ TextAnalysis.queries ++

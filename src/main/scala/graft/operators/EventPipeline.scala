@@ -276,7 +276,10 @@ object EventPipeline {
         if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
         else raw
-      val logs = ev.repartition(4).select(
+      // explicit repartition count overrides the trimmed shuffle conf
+      // below: the JSON render/parse stage runs wide, only the
+      // stateful agg runs at 4 state partitions
+      val logs = ev.repartition(s.sparkContext.defaultParallelism).select(
         concat(
           lit("EVENT_JSON:{\"standard\":\"app\",\"version\":\"1.0.0\",\"event\":\""),
           col("event_type"), lit("\",\"data\":"), col("props"), lit("}")).as("log"),

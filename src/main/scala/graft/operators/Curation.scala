@@ -157,28 +157,8 @@ object Curation {
     "dd06_dedup_clusters" -> { (s, d) =>
       val pairs = Dedup.queries("dd02_ngram_jaccard")(s, d)
         .select(col("doc_a"), col("doc_b"))
-      val edges = pairs
-        .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-      var comp = edges.select(col("src").as("node")).distinct()
-        .withColumn("comp", col("node"))
-        .localCheckpoint()
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 30) {
-        val nbr = edges.join(comp, edges("dst") === comp("node"))
-          .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-        val next = comp.join(nbr, comp("node") === nbr("src"), "left")
-          .select(comp("node").as("node"),
-            least(comp("comp"), coalesce(col("nbr_comp"), comp("comp"))).as("new_comp"),
-            comp("comp").as("old_comp"))
-          .localCheckpoint()
-        changed = next.filter(col("new_comp") < col("old_comp")).count()
-        comp = next.select(col("node"), col("new_comp").as("comp"))
-        rounds += 1
-      }
-      comp.groupBy(col("comp").as("cluster_id"))
+      Components.connectedComponents(pairs, "doc_a", "doc_b")
+        .groupBy(col("comp").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
         .orderBy(col("cluster_id"))
     },

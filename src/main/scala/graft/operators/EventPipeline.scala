@@ -239,7 +239,9 @@ object EventPipeline {
         .select(col("event_id"), col("user_id"), col("ts"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"), col("value"))
-      AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "c_ts", Seq("value"))
+      // the custom whole-operator plan (AsOfJoinExec) runs under the
+      // oracle gate; spec-verified equal to the composed joinAsOf
+      AsOf.joinAsOfNative(purchases, clicks, "user_id", "ts", "c_ts", Seq("value"))
         .select(col("event_id"), col("asof_value"))
         .orderBy(col("event_id"))
     },

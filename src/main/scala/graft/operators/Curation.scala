@@ -235,6 +235,93 @@ object Curation {
         .orderBy(col("label"))
     },
 
+    // --- q27: salted skew join under the oracle ----------------------
+    // Result-identical to the plain equi-join (the oracle IS the plain
+    // join): the hot left key is split across 8 salt partitions, the
+    // dim side replicated 8 ways — the static fallback when one
+    // contract emits most events and AQE's runtime split isn't enough.
+    "q27_salted_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val c = Tables.customer(s, d)
+      Skew.saltedJoin(ev, c, "user_id", "c_custkey", col("event_id"), 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // --- q28: bounded-heap top-k aggregator under the oracle ---------
+    // The O(k)-per-group typed Aggregator (map-side partials ship at
+    // most k pairs per group) gated against the window-rank oracle.
+    "q28_topk_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(TopK.topk(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("long").as("rn"),
+          col("col._2").as("o_orderkey"), col("col._1").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // --- ev20: NEP-171 array flatten under the oracle ----------------
+    // try_flatten_nep171_event (event_types.rs:42-66): a mint carrying
+    // an ARRAY of token payloads explodes to one flat event per token.
+    // Mint logs are rendered deterministically from events rows so the
+    // oracle can mirror the flattening arithmetic.
+    "ev20_nep171_flatten" -> { (s, d) =>
+      val ev = graft.core.Par.scatter(Tables.events(s, d))
+        .filter(col("event_type") === "purchase")
+      val logs = ev.select(
+        concat(
+          lit("EVENT_JSON:{\"standard\":\"nep171\",\"version\":\"1.0.0\",\"event\":\"nft_mint\",\"data\":[{\"owner_id\":\"u"),
+          col("user_id"),
+          lit("\",\"token_ids\":[\"t"), col("event_id"),
+          lit("a\",\"t"), col("event_id"), lit("b\"]}]}")).as("log"),
+        concat(lit("r"), col("event_id")).as("receipt_id"),
+        col("ts").cast("long").as("block_timestamp"),
+        col("event_id").as("block_height"),
+        pmod(col("user_id"), lit(4)).as("shard_id"),
+        concat(lit("c"), col("user_id")).as("contract_account_id"))
+      val flat = graft.streaming.EventStreams.flattenNep171(
+        graft.streaming.EventStreams.validated(
+          graft.streaming.EventStreams.extractEvents(logs)))
+      flat.groupBy(col("owner_id"))
+        .agg(count(lit(1)).as("n_tokens"), min(col("token_id")).as("min_token"))
+        .orderBy(col("owner_id"))
+    },
+
+    // --- ev21: streaming dedup-by-key (dropDuplicatesWithinWatermark)
+    // The reference keys every Kafka record by contract; repeated
+    // deliveries collapse. Run through the streaming engine, then
+    // census the surviving keys (representative rows are arbitrary,
+    // the KEY SET is deterministic and oracle-checkable).
+    "ev21_stream_dedup" -> { (s, d) =>
+      val name = "graft_ev21_mem"
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev =
+        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val dedup = ev
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = dedup.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination() } finally { q.stop() }
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      s.table(name)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("event_type"))
+    },
+
     // --- mm03: binary chunking (frame-sample plumbing) ---------------
     // Fixed-size chunk split over opaque binary payloads — the shape of
     // frame sampling / shard-chunk upload. Chunk slicing happens on the
@@ -389,6 +476,33 @@ object Curation {
         |  floor(MAX(c_norm) * 10000) / 10000 AS centroid_norm,
         |  floor((CAST(SUM(CAST(cos AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) * 10000) / 10000 AS avg_cos
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    "q27_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // TopKAggregator breaks price ties by the LARGER orderkey (tuple
+    // ordering, descending) — the oracle mirrors that
+    "q28_topk_agg" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "ev20_nep171_flatten" ->
+      """SELECT 'u' || user_id AS owner_id,
+        | COUNT(*) * 2 AS n_tokens,
+        | MIN('t' || event_id || 'a') AS min_token
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY owner_id""".stripMargin,
+
+    "ev21_stream_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "mm03_chunk_digest" ->
       """SELECT source, COUNT(*) AS n_chunks,

@@ -235,6 +235,81 @@ object Curation {
         .orderBy(col("label"))
     },
 
+    // --- dd07: SimHash hamming pairs via band bucketing --------------
+    // Near-dup pairs with hamming(simhash) <= 3 — candidates from 4
+    // bands of 6 bits (a pair within distance 3 shares at least one
+    // clean band... not guaranteed in general, but bands ARE the
+    // standard recall/cost dial; the oracle mirrors the same banding
+    // so the gate checks the construction, not a different one).
+    "dd07_hamming_pairs" -> { (s, d) =>
+      val sim = Dedup.queries("dd04_simhash")(s, d)
+      val banded = sim.select(col("doc_id"), col("simhash"),
+          posexplode(array((0 until 4).map(b =>
+            shiftright(col("simhash"), b * 6).bitwiseAND(63)): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bval")
+      val l = banded.select(col("band"), col("bval"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val r = banded.select(col("band"), col("bval"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      l.join(r, Seq("band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+        .distinct()
+        .withColumn("hamming",
+          expr("bit_count(sh_a ^ sh_b)").cast("long"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // --- ss05: batched k-NN join (the ANN serving shape) -------------
+    // A SET of query vectors (vec_id < 10) each probes its own
+    // sign-LSH bucket for top-3 neighbors: broadcast the query set,
+    // bucket equi-join (never cross join), rank within query. Ranking
+    // uses the TRUNCATED cosine so the order is engine-proof.
+    "ss05_knn_join" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("norm", Similarity.l2norm(col("emb")))
+        .withColumn("bucket", Similarity.signBucket(col("emb")))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("norm").as("q_norm"), col("bucket"))
+      val byQuery = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      e.filter(col("vec_id") >= 10)
+        .join(broadcast(qs), Seq("bucket"))
+        .withColumn("cos_sim", Det.trunc4(
+          Similarity.dot(col("emb"), col("q_emb")) / (col("norm") * col("q_norm"))))
+        .withColumn("rank", row_number().over(byQuery).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+
+    // --- tx11: TF-IDF-style term scoring -----------------------------
+    // Top-3 terms per document by tf·idf. The idf is the BM25-style
+    // RATIONAL form (N - df + 0.5)/(df + 0.5): pure arithmetic, so
+    // both engines compute bit-identical doubles (ln() differs in the
+    // last ulp across libm implementations and would flake the gate).
+    "tx11_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok"))
+        .withColumn("score", Det.trunc4(
+          col("tf") * (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("rank", row_number().over(byDoc).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+
     // --- q27: salted skew join under the oracle ----------------------
     // Result-identical to the plain equi-join (the oracle IS the plain
     // join): the hot left key is split across 8 salt partitions, the
@@ -476,6 +551,58 @@ object Curation {
         |  floor(MAX(c_norm) * 10000) / 10000 AS centroid_norm,
         |  floor((CAST(SUM(CAST(cos AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) * 10000) / 10000 AS avg_cos
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    "dd07_hamming_pairs" -> {
+      val dd04 = Dedup.oracles("dd04_simhash")
+      s"""WITH sims AS ($dd04),
+         |banded AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 6)) & 63 AS bval
+         |  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS b) t)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "ss05_knn_join" -> {
+      val duckBucket = (0 until 8).map(i =>
+        s"CASE WHEN emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, emb,
+         |    sqrt(list_sum(list_transform(emb, x -> x * x))) AS norm,
+         |    CAST($duckBucket AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+         |qs AS (SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm, bucket
+         |       FROM e WHERE vec_id < 10),
+         |j AS (
+         |  SELECT qs.q_id, e.vec_id,
+         |    floor((list_sum(list_transform(range(len(e.emb)),
+         |            i -> e.emb[i+1] * qs.q_emb[i+1])) / (e.norm * qs.q_norm)) * 10000) / 10000 AS cos_sim
+         |  FROM e JOIN qs ON e.bucket = qs.bucket WHERE e.vec_id >= 10)
+         |SELECT q_id, rank, vec_id, cos_sim FROM (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+         |  FROM j) WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+
+    "tx11_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok,
+         |    floor((tf * (n - df + 0.5) / (df + 0.5)) * 10000) / 10000 AS score
+         |  FROM tf JOIN df USING (tok), n)
+         |SELECT doc_id, rank, tok, score FROM (
+         |  SELECT doc_id, tok, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+         |  FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q27_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,

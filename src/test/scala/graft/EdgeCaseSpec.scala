@@ -43,6 +43,20 @@ class EdgeCaseSpec extends SparkSpec {
       .select(col("event_id"), col("asof_value")))
   }
 
+  test("connected components: empty edges, self-loops, chains converge exactly") {
+    import graft.operators.Components
+    // empty edge list → empty labeling (no rounds spin)
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponents(empty, "a", "b").count() === 0)
+    // self-loop + a 4-node chain + an isolated pair: labels = min reachable
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    val comp = Components.connectedComponents(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(5L -> 5L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("tx08 winnowing tolerates docs shorter than the gram+window span") {
     // build a tiny documents table with degenerate texts and run the
     // same expression pipeline via a temp parquet dir

@@ -242,12 +242,15 @@ object Curation {
     // standard recall/cost dial; the oracle mirrors the same banding
     // so the gate checks the construction, not a different one).
     "dd07_hamming_pairs" -> { (s, d) =>
-      val sim = Dedup.queries("dd04_simhash")(s, d)
-      val banded = sim.select(col("doc_id"), col("simhash"),
-          posexplode(array((0 until 4).map(b =>
-            shiftright(col("simhash"), b * 6).bitwiseAND(63)): _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bval")
+      // barrier-materialize the signature table: without it BOTH sides
+      // of the self-join recompute the full tokenize+md5 simhash
+      // pipeline (the round-1 dd02 lesson applied here)
+      val banded = Dedup.barrier(
+        Dedup.simhashes(s, d).select(col("doc_id"), col("simhash"),
+            posexplode(array((0 until 4).map(b =>
+              shiftright(col("simhash"), b * 6).bitwiseAND(63)): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bval"))
       val l = banded.select(col("band"), col("bval"),
         col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
       val r = banded.select(col("band"), col("bval"),

@@ -60,6 +60,23 @@ object Dedup {
   /** MinHash signature as a single array column. */
   def minhashSig(shs: Column): Column = array(minhashSigCols(shs): _*)
 
+  /** (doc_id, simhash) — unordered; dd04 adds the ORDER BY, dd07
+    * consumes it barrier-materialized for the banded self-join.
+    */
+  private[operators] def simhashes(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
+      .withColumn("h", Hashing.hash64(col("token")))
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b"))
+    val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until SimhashBits).map(b =>
+      when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    agged.select(col("doc_id"), simhash.as("simhash"))
+  }
+
   /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -77,7 +94,7 @@ object Dedup {
     * to recompute, never to wrong results.
     */
   private val liveCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
-  private def barrier(df: DataFrame): DataFrame = {
+  private[operators] def barrier(df: DataFrame): DataFrame = {
     var old = liveCaches.poll()
     while (old != null) { old.unpersist(blocking = false); old = liveCaches.poll() }
     val p = df.persist()
@@ -141,18 +158,7 @@ object Dedup {
 
     // SimHash over distinct-token hashes
     "dd04_simhash" -> { (s, d) =>
-      val tok = Tables.documents(s, d)
-        .select(col("doc_id"),
-          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
-        .withColumn("h", Hashing.hash64(col("token")))
-      val bitSums = (0 until SimhashBits).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$b"))
-      val agged = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      val simhash = (0 until SimhashBits).map(b =>
-        when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      agged.select(col("doc_id"), simhash.as("simhash"))
-        .orderBy(col("doc_id"))
+      simhashes(s, d).orderBy(col("doc_id"))
     },
 
     // embedding-cosine near-dup within label buckets

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan-shape regressions: the scale-design claims in SURVEY §5 as
+  * enforced assertions, not prose. Each test pins the physical-plan
+  * property that makes the operator viable at 100 TB; a refactor that
+  * silently reintroduces a nested loop, loses scan pushdown, or stops
+  * broadcasting a dim fails here long before a cluster run would.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def planString(name: String): String = plan(name).toString
+
+  private def formatted(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => df.queryExecution.explainString(m)
+    }
+  }
+
+  test("q02 filter and projection reach the parquet scan") {
+    val s = formatted("q02_filter_project")
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("GreaterThanOrEqual(l_shipdate"), s)
+    // pruned read: none of the unused lineitem columns appear in ReadSchema
+    val readSchema = s.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_suppkey"), readSchema)
+  }
+
+  test("q03 broadcasts every dimension side") {
+    val s = planString("q03_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(s).size >= 3, s)
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("q05 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val s = planString("q05_top_customers")
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("dedup family never plans a nested-loop or cartesian join") {
+    Seq("dd01_exact", "dd02_ngram_jaccard", "dd03_minhash_lsh",
+      "dd04_simhash", "dd05_embed_cosine", "dd07_hamming_pairs").foreach { q =>
+      val s = planString(q)
+      assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+        s"$q plans a pair explosion:\n$s")
+    }
+  }
+
+  test("similarity family broadcasts the query/centroid side") {
+    Seq("ss01_topk_cosine", "ss02_ann_signlsh", "ss05_knn_join").foreach { q =>
+      val s = planString(q)
+      assert(s.contains("BroadcastExchange"), s"$q does not broadcast:\n$s")
+    }
+  }
+
+  test("ev15 runs the custom AsOfJoin physical operator") {
+    assert(planString("ev15_asof_enrich").contains("AsOfJoin"))
+  }
+
+  test("ev17 keyed range join is an equi-join on (user, bin), no nested loop") {
+    val s = planString("ev17_interval_join")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("hash64 rewrites to the native codegen expression plan-wide") {
+    val s = planString("tx04_fingerprint")
+    assert(s.contains("graft_hash64") || s.contains("Hash64"), s)
+  }
+
+  test("event filter queries push predicates to the events scan") {
+    val s = formatted("ev04_filter_lists")
+    assert(s.contains("PushedFilters: [") && s.contains("In(user_id"), s)
+  }
+}

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded randomized equivalence properties: each custom operator is
+  * checked against a trivially-correct formulation on adversarial
+  * random data (null keys, null values, duplicate timestamps, skewed
+  * key distributions). Seeds are fixed so failures reproduce.
+  */
+class RandomizedEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomAsOfData(seed: Int, nLeft: Int, nRight: Int) = {
+    val rnd = new Random(seed)
+    def key(): java.lang.Long =
+      if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(8).toLong)
+    val l = (0 until nLeft).map(i =>
+      (i.toLong, key(), rnd.nextInt(50).toLong * 1000 + 500)).toDF("lid", "k", "ts")
+    // unique rts per right row: equal (k, ts) ties have no defined
+    // winner in EITHER formulation, so the property is only
+    // well-defined on tie-free version times
+    val r = (0 until nRight).map(i =>
+      (key(), rnd.nextInt(50).toLong * 1000 + i,
+        if (rnd.nextInt(4) == 0) null else s"v$i", i.toLong))
+      .toDF("k", "rts", "v", "rid")
+    (l, r)
+  }
+
+  test("as-of joins match the naive formulation on random null-heavy data") {
+    for (seed <- Seq(1, 7, 42)) {
+      val (l, r) = randomAsOfData(seed, 200, 150)
+      val naive = l.join(r, l("k") === r("k") && r("rts") <= l("ts"), "left")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lid"))
+            .orderBy(col("rts").desc_nulls_last, col("rid").desc_nulls_last)))
+        .filter(col("rn") === 1)
+        .select(col("lid"), col("v").as("asof_v"), col("rid").as("asof_rid"))
+      val naiveFull = l.select(col("lid")).join(naive, Seq("lid"), "left")
+      for (impl <- Seq(
+          graft.operators.AsOf.joinAsOf(l, r, "k", "ts", "rts", Seq("v", "rid")),
+          graft.operators.AsOf.joinAsOfNative(l, r, "k", "ts", "rts", Seq("v", "rid")))) {
+        val out = impl.select(col("lid"), col("asof_v"), col("asof_rid"))
+        assert(out.count() === 200, s"seed=$seed")
+        assert(out.exceptAll(naiveFull).count() === 0, s"seed=$seed")
+        assert(naiveFull.exceptAll(out).count() === 0, s"seed=$seed")
+      }
+    }
+  }
+
+  test("salted join equals plain join on skewed random keys") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new Random(seed)
+      // 80% of rows share one hot key
+      val facts = (0 until 500).map { i =>
+        val k = if (rnd.nextInt(5) > 0) 1L else rnd.nextInt(20).toLong
+        (i.toLong, k)
+      }.toDF("id", "k")
+      val dim = (0L until 20L).map(k => (k, s"d$k")).toDF("dk", "payload")
+      val plain = facts.join(dim, facts("k") === dim("dk"))
+        .select(col("id"), col("payload"))
+      val salted = graft.operators.Skew
+        .saltedJoin(facts, dim, "k", "dk", col("id"), 8)
+        .select(col("id"), col("payload"))
+      assert(salted.count() === plain.count(), s"seed=$seed")
+      assert(salted.exceptAll(plain).count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("connected components equal union-find on random graphs") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val pairs = (0 until 60).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val root = find(p); parent(x) = root; root }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.operators.Components
+        .connectedComponents(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("topk aggregator equals sort-take per group on random ties") {
+    for (seed <- Seq(13, 29)) {
+      val rnd = new Random(seed)
+      // few distinct values force ties; tag breaks them
+      val rows = (0 until 400).map(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(4).toDouble, i.toLong))
+      val df = rows.toDF("g", "v", "tag")
+      val viaAgg = df.groupBy(col("g"))
+        .agg(graft.operators.TopK.topk(col("v"), col("tag"), 3).as("top"))
+        .select(col("g"), explode(col("top")).as("p"))
+        .select(col("g"), col("p._1").as("v"), col("p._2").as("tag"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.map(t => (t._2, t._3)).sorted(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse)
+          .take(3).map(t => (g, t._1, t._2))
+      }.toSet
+      assert(viaAgg === expected, s"seed=$seed")
+    }
+  }
+
+  test("hash64 stays within the 60-bit non-negative range on random strings") {
+    val rnd = new Random(17)
+    val strs = (0 until 300).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString)
+    val hs = strs.toDF("s")
+      .select(graft.functions.Hashing.hash64(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs.forall(h => h >= 0L && h < (1L << 60)))
+    // and it is a function: equal inputs hash equal, run twice
+    val hs2 = strs.toDF("s")
+      .select(graft.functions.Hashing.hash64(col("s")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs.toSeq === hs2.toSeq)
+  }
+}

@@ -152,8 +152,10 @@ object EventStreams {
     * own topic and `all_topic`).
     */
   def toKafkaRecords(events: DataFrame, prefix: String, allTopic: String): DataFrame = {
-    val value = to_json(struct(
-      col("standard"), col("version"), col("event"), col("data"), col("emit_info")))
+    // serialize the stage shape that arrives: the envelope after
+    // extract/validate, or the flat per-token record after
+    // flatten+enrich (events.rs:198-250 serializes the FLAT event)
+    val value = to_json(struct(events.columns.map(col).toSeq: _*))
     // explode over the two destinations rather than unionAll: a union
     // re-evaluates the whole upstream parse pipeline per branch, the
     // explode computes it once and fans out rows

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's `nes.toml` configuration surface
+  * (configs.rs:148-187 NesConfig) as a typed config + pipeline
+  * builder, so a reference deployment's config maps 1:1 onto this
+  * library:
+  *
+  *  - `kafka.*`                    → Kafka client options
+  *                                   ([[StreamJobs.Kafka.clientOptions]])
+  *  - `near_events_topic_prefix` / `near_events_all_topic`
+  *                                 → [[EventStreams.toKafkaRecords]] routing
+  *  - `whitelist/blacklist_contract_ids`
+  *                                 → [[EventStreams.filterContracts]]
+  *  - `enrich_metadata`            → [[EventStreams.enrichMetadata]] stage
+  *  - `stats_enabled`              → [[StreamJobs.windowedStats]] side query
+  *  - `new_topic_partitions/replication`, `force_create_new_topic`
+  *                                 → carried as sink properties (Spark's
+  *                                   Kafka sink delegates topic creation
+  *                                   to the broker; these become broker/
+  *                                   admin settings on a cluster)
+  */
+final case class NesConfig(
+    kafka: Map[String, String] = Map.empty,
+    nearEventsTopicPrefix: String = "near.events",
+    nearEventsAllTopic: String = "near.events.all",
+    whitelistContractIds: Seq[String] = Nil,
+    blacklistContractIds: Seq[String] = Nil,
+    newTopicPartitions: Int = 1,
+    newTopicReplication: Int = 1,
+    forceCreateNewTopic: Boolean = false,
+    statsEnabled: Boolean = false,
+    enrichMetadata: Boolean = false) {
+
+  /** `kafka.`-prefixed client options for Spark's Kafka connector. */
+  def kafkaClientOptions: Map[String, String] =
+    StreamJobs.Kafka.clientOptions(kafka)
+
+  /** The config's pipeline: extract → validate → white/blacklist →
+    * (optional metadata enrichment) → kafka-record shaping with the
+    * catch-all fanout. `tokens` supplies the metadata dim when
+    * `enrichMetadata` is set (the reference's per-token RPC lookup,
+    * re-expressed as a broadcast join).
+    */
+  def pipeline(logs: DataFrame, tokens: Option[DataFrame] = None): DataFrame = {
+    val filtered = EventStreams.filterContracts(
+      EventStreams.validated(EventStreams.extractEvents(logs)),
+      whitelistContractIds, blacklistContractIds)
+    val staged =
+      if (enrichMetadata)
+        EventStreams.enrichMetadata(
+          EventStreams.flattenNep171(filtered),
+          tokens.getOrElse(throw new IllegalArgumentException(
+            "enrich_metadata=true requires a tokens metadata frame")))
+      else filtered
+    EventStreams.toKafkaRecords(staged, nearEventsTopicPrefix, nearEventsAllTopic)
+  }
+}
+
+object NesConfig {
+
+  /** Parse the flattened nes.toml key space (`kafka.xxx` client keys
+    * plus the scalar/list settings; lists are comma-separated).
+    * Unknown keys are ignored — the reference's TOML parser is also
+    * lenient about extras.
+    */
+  def fromProperties(props: Map[String, String]): NesConfig = {
+    def list(key: String): Seq[String] =
+      props.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def bool(key: String, dflt: Boolean): Boolean =
+      props.get(key).map(_.trim.toBoolean).getOrElse(dflt)
+    def int(key: String, dflt: Int): Int =
+      props.get(key).map(_.trim.toInt).getOrElse(dflt)
+    NesConfig(
+      kafka = props.collect {
+        case (k, v) if k.startsWith("kafka.") => k.stripPrefix("kafka.") -> v
+      },
+      nearEventsTopicPrefix = props.getOrElse("near_events_topic_prefix", "near.events"),
+      nearEventsAllTopic = props.getOrElse("near_events_all_topic", "near.events.all"),
+      whitelistContractIds = list("whitelist_contract_ids"),
+      blacklistContractIds = list("blacklist_contract_ids"),
+      newTopicPartitions = int("new_topic_partitions", 1),
+      newTopicReplication = int("new_topic_replication", 1),
+      forceCreateNewTopic = bool("force_create_new_topic", dflt = false),
+      statsEnabled = bool("stats_enabled", dflt = false),
+      enrichMetadata = bool("enrich_metadata", dflt = false))
+  }
+
+  /** Convenience: run the configured pipeline as the file-based
+    * streaming job ([[StreamJobs.runFilePipeline]] shape).
+    */
+  def runConfigured(
+      spark: SparkSession, config: NesConfig,
+      sourceDir: String, outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    StreamJobs.runFilePipeline(spark, sourceDir, outDir, checkpointDir,
+      config.whitelistContractIds, config.blacklistContractIds,
+      config.nearEventsTopicPrefix, config.nearEventsAllTopic)
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.NesConfig
+
+class NesConfigSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fromProperties parses the nes.toml key space with defaults") {
+    val c = NesConfig.fromProperties(Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "kafka.security.protocol" -> "SASL_SSL",
+      "near_events_topic_prefix" -> "prod.events",
+      "whitelist_contract_ids" -> "a.near, b.near",
+      "new_topic_partitions" -> "12",
+      "stats_enabled" -> "true",
+      "enrich_metadata" -> "true",
+      "some_future_key" -> "ignored"))
+    assert(c.kafka === Map(
+      "bootstrap.servers" -> "broker:9092", "security.protocol" -> "SASL_SSL"))
+    assert(c.kafkaClientOptions("kafka.bootstrap.servers") === "broker:9092")
+    assert(c.nearEventsTopicPrefix === "prod.events")
+    assert(c.nearEventsAllTopic === "near.events.all") // default
+    assert(c.whitelistContractIds === Seq("a.near", "b.near"))
+    assert(c.blacklistContractIds === Nil)
+    assert(c.newTopicPartitions === 12)
+    assert(c.statsEnabled && c.enrichMetadata)
+    assert(!c.forceCreateNewTopic)
+  }
+
+  test("configured pipeline applies whitelist and enrichment stages") {
+    val logs = spark.read.format("graft.sources.BlockSource")
+      .option("startHeight", 100).option("numBlocks", 10)
+      .option("logsPerBlock", 9).option("numPartitions", 2)
+      .load()
+    // whitelist one of the 5 synthetic contracts
+    val plain = NesConfig.fromProperties(Map(
+      "whitelist_contract_ids" -> "contract0.near")).pipeline(logs)
+    val keys = plain.select(col("key")).distinct().as[String].collect()
+    assert(keys.toSeq === Seq("contract0.near"))
+    // every event lands on its own topic AND the catch-all
+    val topics = plain.groupBy(col("topic")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(topics.keySet === Set("near.events.nep171.nft_mint", "near.events.all"))
+    assert(topics.values.toSet.size === 1)
+
+    // enrich_metadata=true flattens NEP-171 arrays and broadcast-joins
+    // the token metadata dim
+    val tokens = Seq(
+      ("contract0.near", "100:0", "Token #0", "ipfs://m0", """{"rarity":"epic"}"""))
+      .toDF("contract_account_id", "token_id", "title", "media", "extra")
+    val enriched = NesConfig.fromProperties(Map(
+      "whitelist_contract_ids" -> "contract0.near",
+      "enrich_metadata" -> "true")).pipeline(logs, Some(tokens))
+    assert(enriched.count() > 0)
+    val value = enriched.filter(col("topic") === "near.events.all").head.getAs[String]("value")
+    assert(value.contains("nft_mint"))
+  }
+
+  test("enrich_metadata without a tokens frame fails fast") {
+    val logs = Seq(("EVENT_JSON:{}", "r1", 1L, 1L, 0L, "c1"))
+      .toDF("log", "receipt_id", "block_timestamp", "block_height", "shard_id", "contract_account_id")
+    intercept[IllegalArgumentException] {
+      NesConfig.fromProperties(Map("enrich_metadata" -> "true")).pipeline(logs)
+    }
+  }
+}

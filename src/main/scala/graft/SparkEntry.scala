@@ -15,9 +15,16 @@ object SparkEntry {
     * rows>0. The flagship is the reference's own pipeline end-to-end:
     * EVENT_JSON extraction → validation → kafka-record fanout census
     * (events.rs full path).
+    *
+    * The caller's session may be bare (no graft configs):
+    * events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads
+    * with the legacy nanos-as-long conf — set it here so the flagship
+    * runs on any session.
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     EventPipeline.queries("ev13_pipeline_e2e")(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreAnalytics.queries ++ EventPipeline.queries ++ TextAnalysis.queries ++

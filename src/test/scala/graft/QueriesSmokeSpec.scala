@@ -9,6 +9,12 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("entry runs on a bare session (no graft confs/extensions), like the driver smoke") {
+    val bare = spark.newSession()
+    bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    assert(SparkEntry.entry(bare).count() > 0)
+  }
+
   test("every oracle has a query; only sketch ops lack oracles") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

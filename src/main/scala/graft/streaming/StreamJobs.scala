@@ -99,6 +99,43 @@ object StreamJobs {
       }
   }
 
+  case class AsOfIn(k: Long, ts: Long, side: Int, v: Option[Double])
+  case class AsOfCarry(ts: Long, v: Option[Double])
+  case class AsOfOut(k: Long, ts: Long, asof_v: Option[Double])
+
+  /** Streaming as-of enrichment: the [[graft.operators.AsOf]]
+    * carry-forward as a stateful stream. State per key is ONE carried
+    * version (O(keys) total, the bound the reference's in-memory
+    * metadata cache has) — version rows (side=0) update it, fact rows
+    * (side=1) emit with the carried value. Within a batch rows apply
+    * in (ts, side) order, version-before-fact on ties, matching the
+    * batch operator's inclusive `r.ts <= l.ts`.
+    *
+    * Contract: batches arrive in event-time order per key (the
+    * watermark-ordered replay of a log); a version arriving after a
+    * later fact was already emitted cannot retro-enrich it — exactly
+    * the reference's behavior of enriching with the latest state KNOWN
+    * AT DELIVERY TIME.
+    */
+  def streamAsOf(events: Dataset[AsOfIn]): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfCarry, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[AsOfIn], state: GroupState[AsOfCarry]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.side))
+          var st = state.getOption.getOrElse(AsOfCarry(Long.MinValue, None))
+          val out = scala.collection.mutable.ListBuffer[AsOfOut]()
+          sorted.foreach { r =>
+            if (r.side == 0) {
+              if (r.ts >= st.ts) st = AsOfCarry(r.ts, r.v)
+            } else out += AsOfOut(k, r.ts, st.v)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** configs.rs SyncModeSubCommand re-expressed as source positioning:
     * the reference resumes from interruption (checkpoint), from the
     * latest block, or from a given height — exactly Structured

@@ -1,4 +1,5 @@
 package graft
+// (streaming state specs)
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -30,6 +31,47 @@ class StreamStateSpec extends SparkSpec {
     val rows = spark.table("dedup_out").collect()
     // one row per key within the watermark window
     assert(rows.map(_.getAs[String]("event_key")).sorted.toSeq === Seq("a", "b"))
+  }
+
+  test("streaming as-of enrichment matches the batch operator on ordered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJobs.AsOfIn
+    // versions (side 0) and facts (side 1) from the sf events table,
+    // keyed by user; versions = clicks (carry value), facts = purchases
+    val ev = graft.core.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id").as("k"), expr("unix_micros(ts)").as("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        when(col("event_type") === "click", col("value")).as("v"))
+      .as[AsOfIn].collect().sortBy(r => (r.ts, r.side))
+    val split = ev(ev.length / 2).ts
+    val (batch1, batch2) = ev.partition(_.ts <= split)
+    // keep batches event-time ordered: batch2 strictly after batch1
+    val in = MemoryStream[AsOfIn]
+    val q = StreamJobs.streamAsOf(in.toDS()).writeStream
+      .format("memory").queryName("asof_stream")
+      .outputMode(OutputMode.Append).start()
+    in.addData(batch1.toSeq); q.processAllAvailable()
+    in.addData(batch2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_stream")
+      .select(col("k"), col("ts"), col("asof_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+      .sortBy(t => (t._1, t._2, Option(t._3).map(_.toString).getOrElse("")))
+    val evDf = graft.core.Tables.events(spark, sf)
+    val facts = evDf.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), expr("unix_micros(ts)").as("ts"))
+    val versions = evDf.filter(col("event_type") === "click")
+      .select(col("user_id").as("k"), expr("unix_micros(ts)").as("vts"), col("value"))
+    val batch = graft.operators.AsOf
+      .joinAsOf(facts, versions, "k", "ts", "vts", Seq("value"))
+      .select(col("k"), col("ts"), col("asof_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+      .sortBy(t => (t._1, t._2, Option(t._3).map(_.toString).getOrElse("")))
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
   }
 
   test("stream-stream interval join correlates within the bound") {

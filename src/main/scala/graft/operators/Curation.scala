@@ -385,6 +385,9 @@ object Curation {
       val dedup = ev
         .withWatermark("ts", "1 minute")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
+      // append-mode memory sinks accumulate across restarts in one
+      // session — drop the previous run's table first
+      s.catalog.dropTempView(name)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       try {

@@ -124,6 +124,12 @@ class CurationSpec extends SparkSpec {
     assert(rows.count(_.getAs[Long]("lag_blocks") == 0L) >= 1)
   }
 
+  test("ev21 repeated in one session does not accumulate memory-sink rows") {
+    val a = SparkEntry.queries("ev21_stream_dedup")(spark, sf).collect()
+    val b = SparkEntry.queries("ev21_stream_dedup")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("mm03 chunk counts equal per-doc ceil(bytes/64)") {
     val expected = Tables.documents(spark, sf)
       .filter(length(col("text")) > 0 && col("text").rlike("^[\\x00-\\x7F]*$"))

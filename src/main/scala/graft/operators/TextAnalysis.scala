@@ -87,15 +87,32 @@ object TextAnalysis {
         .orderBy(col("lang"), col("guessed"))
     },
 
-    // fuzzy token matching: edit-distance ≤ 2 pairs over the vocab
+    // fuzzy token matching: edit-distance ≤ 2 pairs over the vocab.
+    // NOT a cross join: SymSpell-style deletion neighborhoods — two
+    // terms with lev ≤ 2 always share a ≤2-deletion variant, so
+    // candidates come from an equi-join on the variant and the exact
+    // levenshtein filter runs only within buckets. The oracle is the
+    // plain all-pairs definition, proving the candidate generation
+    // loses nothing.
     "tx05_edit_distance" -> { (s, d) =>
+      // all strings with one char deleted (col-expression form)
+      def del1(t: Column): Column =
+        transform(sequence(lit(1), length(t)),
+          i => concat(t.substr(lit(1), i - 1), t.substr(i + 1, length(t))))
       val vocab = Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
         .distinct()
-      val a = vocab.select(col("tok").as("tok_a"))
-      val b = vocab.select(col("tok").as("tok_b"))
-      a.crossJoin(b)
+      val variants = vocab
+        .withColumn("d1", del1(col("tok")))
+        .withColumn("var", explode(array_distinct(concat(
+          array(col("tok")), col("d1"),
+          flatten(transform(col("d1"), v => del1(v)))))))
+        .select(col("tok"), col("var"))
+      val a = variants.select(col("var"), col("tok").as("tok_a"))
+      val b = variants.select(col("var"), col("tok").as("tok_b"))
+      a.join(b, Seq("var"))
         .filter(col("tok_a") < col("tok_b"))
+        .select(col("tok_a"), col("tok_b")).distinct()
         .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
         .filter(col("dist") <= 2)
         .orderBy(col("tok_a"), col("tok_b"))

@@ -77,4 +77,19 @@ class PlanAuditSpec extends SparkSpec {
     val s = formatted("ev04_filter_lists")
     assert(s.contains("PushedFilters: [") && s.contains("In(user_id"), s)
   }
+
+  test("no operator plans an accidental cartesian / nested-loop join") {
+    // intentional single-row broadcasts (query vector, global tip,
+    // funnel scalars): a BroadcastNestedLoopJoin against ONE row is
+    // the cheapest possible plan, not a pair explosion
+    val singleRowCross = Set(
+      "ss01_topk_cosine", "ss02_ann_signlsh", "ss03_ann_ivf",
+      "ev10_event_funnel", "ev18_lag_stats")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(singleRowCross.contains).foreach { name =>
+      val s = planString(name)
+      assert(!s.contains("CartesianProduct"), s"$name plans a cartesian:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$s")
+    }
+  }
 }

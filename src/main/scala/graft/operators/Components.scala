@@ -33,7 +33,12 @@ object Components {
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed > 0 && rounds <= maxRounds) {
+      if (rounds == maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxRounds rounds " +
+            s"($changed labels still moving) — component diameter exceeds " +
+            "maxRounds; raise it or switch to large/small-star rounds")
       val nbr = edges.join(comp, edges("dst") === comp("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
       val next = comp.join(nbr, comp("node") === nbr("src"), "left")

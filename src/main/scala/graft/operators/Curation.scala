@@ -30,10 +30,12 @@ object Curation {
   /** Regex scrub (PII-redaction shape): count + replace pattern hits,
     * fingerprint the redacted text so the rewrite itself is verified.
     * The gated query scrubs policy terms the corpus exercises; for
-    * real PII swap the pattern for digit-run/email regexes.
+    * real PII swap the pattern for digit-run/email regexes. ONE
+    * constant feeds both the Spark query and the DuckDB oracle — the
+    * syntax is common to both engines, and a single definition keeps
+    * them locked together.
     */
   val ScrubPattern = "\\b(customer|value)\\b"
-  val DuckScrubPattern = "\\b(customer|value)\\b"
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
@@ -181,9 +183,12 @@ object Curation {
         col("event_id").as("block_height"),
         pmod(col("user_id"), lit(4)).as("shard_id"),
         concat(lit("c"), col("user_id")).as("contract_account_id"))
-      val (ok, dead) = graft.streaming.EventStreams.extractWithDeadLetter(logs)
-      ok.select(lit("valid").as("status"), col("event"))
-        .unionByName(dead.select(lit("dead").as("status"), col("event")))
+      // single pass: a status column from the SAME validity predicate
+      // the dead-letter split uses — a union of the two split branches
+      // would re-run the whole render+parse pipeline per branch
+      graft.streaming.EventStreams.extractEvents(logs)
+        .withColumn("status",
+          when(graft.streaming.EventStreams.isValid, "valid").otherwise("dead"))
         .groupBy(col("status"))
         .agg(count(lit(1)).as("n_events"), countDistinct(col("event")).as("n_names"))
         .orderBy(col("status"))
@@ -298,15 +303,18 @@ object Curation {
     // last ulp across libm implementations and would flake the gate).
     "tx11_tfidf" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val n = docs.count()
+      // N as a broadcast scalar frame, not an eager driver count():
+      // an eager count would re-scan the corpus at every invocation
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
       val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))
       tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(nDocs))
         .withColumn("score", Det.trunc4(
-          col("tf") * (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          col("tf") * (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
         .withColumn("rank", row_number().over(byDoc).cast("long"))
         .filter(col("rank") <= 3)
         .select(col("doc_id"), col("rank"), col("tok"), col("score"))
@@ -374,30 +382,17 @@ object Curation {
     // census the surviving keys (representative rows are arbitrary,
     // the KEY SET is deterministic and oracle-checkable).
     "ev21_stream_dedup" -> { (s, d) =>
-      val name = "graft_ev21_mem"
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
-      val dedup = ev
-        .withWatermark("ts", "1 minute")
+      // the oracle states a GLOBAL distinct contract, so the watermark
+      // must exceed the corpus's event-time span — otherwise a
+      // multi-batch read (multiple files / maxFilesPerTrigger) would
+      // evict dedup state mid-stream and late duplicates would
+      // survive. 10 years >> any test corpus; at production scale
+      // pick the real dedup horizon instead.
+      val dedup = graft.streaming.StreamJobs.eventsFileStream(s, d)
+        .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
-      // append-mode memory sinks accumulate across restarts in one
-      // session — drop the previous run's table first
-      s.catalog.dropTempView(name)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = dedup.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name)
+      graft.streaming.StreamJobs
+        .runMemorySnapshot(dedup, "graft_ev21_mem", "append")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_keys"))
         .orderBy(col("event_type"))
@@ -462,8 +457,8 @@ object Curation {
          | bit_xor(red_fp) AS fp_xor
          |FROM (
          |  SELECT source,
-         |    len(regexp_extract_all(text, '$DuckScrubPattern')) AS n_red,
-         |    ${Hashing.duckHash64(s"regexp_replace(text, '$DuckScrubPattern', '<X>', 'g')")} AS red_fp
+         |    len(regexp_extract_all(text, '$ScrubPattern')) AS n_red,
+         |    ${Hashing.duckHash64(s"regexp_replace(text, '$ScrubPattern', '<X>', 'g')")} AS red_fp
          |  FROM documents)
          |GROUP BY source ORDER BY source""".stripMargin,
 

@@ -151,32 +151,11 @@ object EventPipeline {
     // the same DuckDB correctness gate as batch (stats.rs re-expressed
     // on the streaming engine).
     "ev11_stream_stats" -> { (s, d) =>
-      val name = "graft_ev11_mem"
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
-      val agg = ev
+      val agg = graft.streaming.StreamJobs.eventsFileStream(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
-      // stateful agg state is tiny ((hour, type) cardinality) but each
-      // shuffle partition carries a state-store instance with per-batch
-      // commit overhead — run the stream with a few state partitions
-      // instead of the session's 32 (the conf is captured at stream
-      // start, so the session value can be restored immediately)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name)
+      graft.streaming.StreamJobs
+        .runMemorySnapshot(agg, "graft_ev11_mem", "complete")
         .orderBy(col("hour_ts"), col("event_type"))
     },
 
@@ -270,17 +249,10 @@ object EventPipeline {
     // census in complete mode — the reference's continuous delivery
     // path on the streaming engine, gated by the same oracle as ev13.
     "ev19_stream_pipeline" -> { (s, d) =>
-      val name = "graft_ev19_mem"
-      val schema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev =
-        if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val ev = graft.streaming.StreamJobs.eventsFileStream(s, d)
       // explicit repartition count overrides the trimmed shuffle conf
-      // below: the JSON render/parse stage runs wide, only the
-      // stateful agg runs at 4 state partitions
+      // inside runMemorySnapshot: the JSON render/parse stage runs
+      // wide, only the stateful agg runs at 4 state partitions
       val logs = ev.repartition(s.sparkContext.defaultParallelism).select(
         concat(
           lit("EVENT_JSON:{\"standard\":\"app\",\"version\":\"1.0.0\",\"event\":\""),
@@ -300,16 +272,8 @@ object EventPipeline {
         .toKafkaRecords(events, TopicPrefix, s"$TopicPrefix.all")
         .groupBy(col("topic"), col("key"))
         .agg(count(lit(1)).as("n"))
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination() } finally { q.stop() }
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(name)
+      graft.streaming.StreamJobs
+        .runMemorySnapshot(agg, "graft_ev19_mem", "complete")
         .groupBy(col("topic"))
         .agg(sum(col("n")).as("n_records"), count(lit(1)).as("n_keys"))
         .orderBy(col("topic"))

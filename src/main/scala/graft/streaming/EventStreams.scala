@@ -46,13 +46,19 @@ object EventStreams {
           col("shard_id"), col("contract_account_id")).as("emit_info"))
   }
 
+  /** The NEP name-validation predicate (event_types.rs:8-24) — shared
+    * by [[validated]], [[extractWithDeadLetter]] and status-column
+    * censuses so the split condition can never diverge.
+    */
+  def isValid: Column =
+    col("standard").isNotNull && col("event").isNotNull &&
+      col("standard").rlike(NameRegex) && col("event").rlike(NameRegex)
+
   /** Drop events failing NEP name validation (invalid are logged by
     * the reference; here they're filterable for a dead-letter sink).
     */
   def validated(events: DataFrame): DataFrame =
-    events.filter(
-      col("standard").isNotNull && col("event").isNotNull &&
-      col("standard").rlike(NameRegex) && col("event").rlike(NameRegex))
+    events.filter(isValid)
 
   /** Typed view of the extracted envelope — `Dataset[NearEventRow]`
     * for compile-time field checks in user pipelines.
@@ -71,9 +77,8 @@ object EventStreams {
     */
   def extractWithDeadLetter(logs: DataFrame): (DataFrame, DataFrame) = {
     val all = extractEvents(logs)
-    val ok = col("standard").isNotNull && col("event").isNotNull &&
-      col("standard").rlike(NameRegex) && col("event").rlike(NameRegex)
-    (all.filter(ok), all.filter(!ok || col("standard").isNull || col("event").isNull))
+    (all.filter(isValid),
+      all.filter(!isValid || col("standard").isNull || col("event").isNull))
   }
 
   /** Whitelist/blacklist on contract id; empty list = no constraint. */

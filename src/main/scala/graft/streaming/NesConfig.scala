@@ -88,12 +88,26 @@ object NesConfig {
   }
 
   /** Convenience: run the configured pipeline as the file-based
-    * streaming job ([[StreamJobs.runFilePipeline]] shape).
+    * streaming job — `config.pipeline` builds the stage chain (so
+    * enrich_metadata is honored; pass `tokens` when it is set), and
+    * the records land as per-topic partitioned parquet. The kafka.*
+    * client options don't apply to the file sink (swap the
+    * foreachBatch body for [[StreamJobs.Kafka.sink]] on a cluster);
+    * stats_enabled is a separate side query the caller starts with
+    * [[StreamJobs.windowedStats]].
     */
   def runConfigured(
       spark: SparkSession, config: NesConfig,
-      sourceDir: String, outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    StreamJobs.runFilePipeline(spark, sourceDir, outDir, checkpointDir,
-      config.whitelistContractIds, config.blacklistContractIds,
-      config.nearEventsTopicPrefix, config.nearEventsAllTopic)
+      sourceDir: String, outDir: String, checkpointDir: String,
+      tokens: Option[DataFrame] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    val logs = spark.readStream.schema(StreamJobs.logSchema).json(sourceDir)
+    config.pipeline(logs, tokens).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("topic").parquet(outDir)
+      }
+      .start()
+  }
 }

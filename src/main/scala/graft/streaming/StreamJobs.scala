@@ -99,6 +99,44 @@ object StreamJobs {
       }
   }
 
+  /** `events.parquet` as a file stream with the TIMESTAMP(NANOS)
+    * column fixed up — the streaming twin of
+    * [[graft.core.Tables.events]].
+    */
+  def eventsFileStream(s: SparkSession, d: String): DataFrame = {
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Drain a streaming frame into a memory-sink snapshot under
+    * AvailableNow and return the snapshot table. Stateful-shuffle
+    * partitions are trimmed to `stateParts` for the stream only: the
+    * conf is captured at stream start and the session value restored
+    * after termination (restoring right after `start()` races with
+    * async micro-batch planning). The previous table of the same name
+    * is dropped first — append-mode memory sinks accumulate across
+    * restarts in one session.
+    */
+  def runMemorySnapshot(
+      df: DataFrame, name: String, mode: String, stateParts: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    s.catalog.dropTempView(name)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(name)
+  }
+
   case class AsOfIn(k: Long, ts: Long, side: Int, v: Option[Double])
   case class AsOfCarry(ts: Long, v: Option[Double])
   case class AsOfOut(k: Long, ts: Long, asof_v: Option[Double])
@@ -196,6 +234,18 @@ object StreamJobs {
     * per-topic Kafka delivery; foreachBatch so the same batch writer
     * serves both engines).
     */
+  /** The (log, emit-info) ingress row shape — BlockSource.schema's
+    * twin for file sources.
+    */
+  val logSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("log", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("receipt_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("block_timestamp", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("block_height", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("contract_account_id", org.apache.spark.sql.types.StringType)))
+
   def runFilePipeline(
       spark: SparkSession,
       sourceDir: String,
@@ -205,13 +255,6 @@ object StreamJobs {
       blacklist: Seq[String] = Nil,
       prefix: String = "near.events",
       allTopic: String = "near.events.all"): org.apache.spark.sql.streaming.StreamingQuery = {
-    val logSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("log", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("receipt_id", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("block_timestamp", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("block_height", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("shard_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("contract_account_id", org.apache.spark.sql.types.StringType)))
     val logs = spark.readStream.schema(logSchema).json(sourceDir)
     val events = EventStreams.filterContracts(
       EventStreams.validated(EventStreams.extractEvents(logs)), whitelist, blacklist)

@@ -110,7 +110,6 @@ class CurationSpec extends SparkSpec {
   test("ev19 streaming pipeline census equals the ev13 batch census") {
     val streaming = SparkEntry.queries("ev19_stream_pipeline")(spark, sf)
     val batch = SparkEntry.queries("ev13_pipeline_e2e")(spark, sf)
-      .withColumnsRenamed(Map.empty[String, String])
     assert(streaming.collect().toSeq === batch.collect().toSeq)
   }
 

@@ -18,9 +18,8 @@ class PlanAuditSpec extends SparkSpec {
 
   private def formatted(name: String): String = {
     val df: DataFrame = SparkEntry.queries(name)(spark, sf)
-    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
-      case m => df.queryExecution.explainString(m)
-    }
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
   test("q02 filter and projection reach the parquet scan") {
@@ -84,7 +83,7 @@ class PlanAuditSpec extends SparkSpec {
     // the cheapest possible plan, not a pair explosion
     val singleRowCross = Set(
       "ss01_topk_cosine", "ss02_ann_signlsh", "ss03_ann_ivf",
-      "ev10_event_funnel", "ev18_lag_stats")
+      "ev10_event_funnel", "ev18_lag_stats", "tx11_tfidf")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -57,6 +57,29 @@ class NesConfigSpec extends SparkSpec {
     assert(value.contains("nft_mint"))
   }
 
+  test("runConfigured honors enrich_metadata end-to-end (file source -> per-topic parquet)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-nesconf").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val chk = s"$base/chk"
+    // render a small log batch from BlockSource into json files
+    spark.read.format("graft.sources.BlockSource")
+      .option("startHeight", 300).option("numBlocks", 5)
+      .option("logsPerBlock", 3).option("numPartitions", 1)
+      .load().write.mode("overwrite").json(srcDir)
+    val tokens = Seq(
+      ("contract0.near", "300:0", "T300", "ipfs://m", """{"k":1}"""))
+      .toDF("contract_account_id", "token_id", "title", "media", "extra")
+    val q = NesConfig.runConfigured(spark,
+      NesConfig.fromProperties(Map("enrich_metadata" -> "true")),
+      srcDir, outDir, chk, Some(tokens))
+    q.awaitTermination()
+    val out = spark.read.parquet(outDir)
+    // flattened per-token records, enriched _id present, both topics
+    assert(out.count() === 5L * 2) // 1 mint/block (log 0), 2 topics each
+    assert(out.columns.contains("value"))
+    val v = out.head.getAs[String]("value")
+    assert(v.contains("token_id") && v.contains("_id"))
+  }
+
   test("enrich_metadata without a tokens frame fails fast") {
     val logs = Seq(("EVENT_JSON:{}", "r1", 1L, 1L, 0L, "c1"))
       .toDF("log", "receipt_id", "block_timestamp", "block_height", "shard_id", "contract_account_id")

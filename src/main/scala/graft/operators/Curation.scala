@@ -398,6 +398,29 @@ object Curation {
         .orderBy(col("event_type"))
     },
 
+    // --- mm04: stride downsampling (resize stub) ---------------------
+    // The deterministic stand-in for a resize/downsample codec: keep
+    // every 4th byte. A real codec drops into the same slot (per-item
+    // transform over the payload, digest-verified output); the gated
+    // query uses the ASCII corpus so byte and char stride agree and
+    // DuckDB can mirror the transform exactly.
+    "mm04_resize_stride" -> { (s, d) =>
+      val stride = 4
+      val ascii = Tables.documents(s, d)
+        .filter(length(col("text")) > 0 && col("text").rlike("^[\\x00-\\x7F]*$"))
+      ascii
+        .withColumn("resized", array_join(
+          transform(
+            sequence(lit(0L), ceil(length(col("text")) / lit(stride.toDouble)).cast("long") - 1),
+            i => col("text").substr((i * stride + 1).cast("int"), lit(1))), ""))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(length(col("resized"))).as("total_resized_chars"),
+          min(md5(col("resized"))).as("min_digest"))
+        .orderBy(col("source"))
+    },
+
     // --- mm03: binary chunking (frame-sample plumbing) ---------------
     // Fixed-size chunk split over opaque binary payloads — the shape of
     // frame sampling / shard-chunk upload. Chunk slicing happens on the
@@ -631,6 +654,19 @@ object Curation {
     "ev21_stream_dedup" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_keys
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "mm04_resize_stride" ->
+      """SELECT source, COUNT(*) AS n_items,
+        | CAST(SUM(length(resized)) AS BIGINT) AS total_resized_chars,
+        | MIN(md5(resized)) AS min_digest
+        |FROM (
+        |  SELECT source,
+        |    array_to_string(list_transform(
+        |      range(CAST(ceil(length(text) / 4.0) AS BIGINT)),
+        |      i -> substr(text, CAST(i * 4 + 1 AS INT), 1)), '') AS resized
+        |  FROM documents
+        |  WHERE length(text) > 0 AND regexp_matches(text, '^[\x00-\x7F]*$'))
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "mm03_chunk_digest" ->
       """SELECT source, COUNT(*) AS n_chunks,

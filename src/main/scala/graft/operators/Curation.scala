@@ -240,6 +240,46 @@ object Curation {
         .orderBy(col("label"))
     },
 
+    // --- dd08: EXACT set-similarity join via prefix filtering --------
+    // Jaccard >= 0.5 pairs with NO recall loss: for J >= t, two sets
+    // must share an element within each side's (|S| - ceil(t*|S|) + 1)-
+    // prefix under a global element order (Chaudhuri et al. prefix
+    // filter) — so candidates come from an equi-join on exploded
+    // prefix elements, and the exact J filter runs only within
+    // buckets. The oracle is the plain ALL-PAIRS definition: the gate
+    // proves the prefix filter loses nothing. This is the principled
+    // version of dd02's min-shingle heuristic (min-shingle = prefix of
+    // length 1 = only exact for t = 1).
+    "dd08_jaccard_prefix" -> { (s, d) =>
+      val t = 0.5
+      val ds = Dedup.barrier(
+        Tables.documents(s, d)
+          .withColumn("toks", split(trim(col("text")), "\\s+"))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"),
+            sort_array(Dedup.shingleHashes(col("toks"))).as("shs"))
+          .withColumn("n", size(col("shs")))
+          .withColumn("pfx_len", (col("n") - ceil(col("n") * t) + 1).cast("int")))
+      val pfx = ds.select(col("doc_id"), col("shs"), col("n"),
+        explode(slice(col("shs"), lit(1), col("pfx_len"))).as("p"))
+      val a = pfx.select(col("p"), col("doc_id").as("doc_a"),
+        col("shs").as("sh_a"), col("n").as("n_a"))
+      val b = pfx.select(col("p"), col("doc_id").as("doc_b"),
+        col("shs").as("sh_b"), col("n").as("n_b"))
+      a.join(b, Seq("p"))
+        .filter(col("doc_a") < col("doc_b"))
+        // length-ratio pruning (implied by J >= t, so lossless)
+        .filter(col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
+        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", Det.trunc4(
+          col("n_common").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))))
+        .filter(col("jaccard") >= t)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // --- dd07: SimHash hamming pairs via band bucketing --------------
     // Near-dup pairs with hamming(simhash) <= 3 — candidates from 4
     // bands of 6 bits (a pair within distance 3 shares at least one
@@ -575,6 +615,22 @@ object Curation {
         |  floor(MAX(c_norm) * 10000) / 10000 AS centroid_norm,
         |  floor((CAST(SUM(CAST(cos AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*)) * 10000) / 10000 AS avg_cos
         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+
+    // ALL-PAIRS oracle (no candidate logic): proves the prefix filter
+    // + length pruning lose nothing
+    "dd08_jaccard_prefix" -> {
+      val jac =
+        """floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
+          |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) * 10000) / 10000""".stripMargin
+      s"""WITH ds AS (
+         |  SELECT doc_id, shs
+         |  FROM (SELECT doc_id, ${Dedup.duckShs} AS shs FROM documents
+         |        WHERE len(${Dedup.duckToks}) >= 3))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $jac AS jaccard
+         |FROM ds a JOIN ds b ON a.doc_id < b.doc_id
+         |WHERE $jac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dd07_hamming_pairs" -> {
       val dd04 = Dedup.oracles("dd04_simhash")

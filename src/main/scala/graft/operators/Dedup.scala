@@ -178,11 +178,11 @@ object Dedup {
     }
   )
 
-  private val duckToks = """string_split_regex(trim(text), '\s+')"""
-  private val duckShStr =
+  private[operators] val duckToks = """string_split_regex(trim(text), '\s+')"""
+  private[operators] val duckShStr =
     s"""list_transform(range(len($duckToks) - 2),
        | i -> $duckToks[i+1] || ' ' || $duckToks[i+2] || ' ' || $duckToks[i+3])""".stripMargin
-  private val duckShs =
+  private[operators] val duckShs =
     s"list_distinct(list_transform($duckShStr, x -> ${Hashing.duckHash64("x")}))"
   private val duckNorm =
     "sqrt(list_sum(list_transform(emb, x -> x * x)))"

@@ -57,6 +57,21 @@ class EdgeCaseSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: deep chain converges; non-convergence throws") {
+    import graft.operators.Components
+    // a 25-node chain needs many propagation rounds (diameter bound)
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Components.connectedComponents(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 25 && comp.values.forall(_ == 0L))
+    // with maxRounds too small the same input must FAIL LOUDLY, not
+    // return split components
+    val e = intercept[IllegalStateException] {
+      Components.connectedComponents(chain, "a", "b", maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("tx08 winnowing tolerates docs shorter than the gram+window span") {
     // build a tiny documents table with degenerate texts and run the
     // same expression pipeline via a temp parquet dir

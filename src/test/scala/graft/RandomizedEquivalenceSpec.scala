@@ -111,6 +111,28 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("keyed binned range join equals naive on random points and intervals") {
+    for (seed <- Seq(19, 31)) {
+      val rnd = new Random(seed)
+      val points = (0 until 300).map(i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(100000).toLong))
+        .toDF("pid", "k", "t")
+      val ivs = (0 until 150).map { i =>
+        val s = rnd.nextInt(100000).toLong
+        (i.toLong, rnd.nextInt(6).toLong, s, s + rnd.nextInt(5000))
+      }.toDF("iid", "k", "s", "e")
+      val naive = points.join(ivs.withColumnRenamed("k", "ik"),
+          col("k") === col("ik") && col("t") >= col("s") && col("t") <= col("e"))
+        .select(col("pid"), col("iid"))
+      val binned = graft.operators.RangeJoin
+        .binned(points, ivs, "t", "s", "e", 1000L, Seq("k"))
+        .select(col("pid"), col("iid"))
+      assert(binned.count() === naive.count(), s"seed=$seed")
+      assert(binned.exceptAll(naive).count() === 0, s"seed=$seed")
+      assert(naive.exceptAll(binned).count() === 0, s"seed=$seed")
+    }
+  }
+
   test("hash64 stays within the 60-bit non-negative range on random strings") {
     val rnd = new Random(17)
     val strs = (0 until 300).map(_ => rnd.alphanumeric.take(rnd.nextInt(30)).mkString)

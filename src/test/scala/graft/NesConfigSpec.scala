@@ -44,6 +44,13 @@ class NesConfigSpec extends SparkSpec {
     assert(topics.keySet === Set("near.events.nep171.nft_mint", "near.events.all"))
     assert(topics.values.toSet.size === 1)
 
+    // blacklist removes exactly its contracts (events only occur at
+    // log indices 0/3/6 → contracts 0, 3, 1 in the synthetic chain)
+    val blacklisted = NesConfig.fromProperties(Map(
+      "blacklist_contract_ids" -> "contract0.near, contract1.near")).pipeline(logs)
+    val remaining = blacklisted.select(col("key")).distinct().as[String].collect().toSet
+    assert(remaining === Set("contract3.near"))
+
     // enrich_metadata=true flattens NEP-171 arrays and broadcast-joins
     // the token metadata dim
     val tokens = Seq(

@@ -361,6 +361,37 @@ object Curation {
         .orderBy(col("doc_id"), col("rank"))
     },
 
+    // --- ss06: maximum-inner-product top-k (retrieval scoring) -------
+    // Same scan+broadcast shape as ss01 but scored by raw dot product
+    // — the MIPS objective retrieval rankers use (cosine normalizes
+    // away magnitude; MIPS keeps it).
+    "ss06_mips_topk" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("q_emb"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("dot", Det.trunc4(Similarity.dot(col("emb"), col("q_emb"))))
+        .select(col("vec_id"), col("label"), col("dot"))
+        .orderBy(col("dot").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // --- q29: RANGE-frame window (value-range moving aggregate) ------
+    // A 7-day trailing revenue window per customer — RANGE frames
+    // bound by an interval, not row counts (q10 covers ROWS frames).
+    "q29_range_window" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-7L * 86400, 0)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") <= 50)
+        .withColumn("trailing_7d",
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("trailing_7d"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // --- q27: salted skew join under the oracle ----------------------
     // Result-identical to the plain equi-join (the oracle IS the plain
     // join): the hot left key is split across 8 salt partitions, the
@@ -683,6 +714,23 @@ object Curation {
          |  SELECT doc_id, tok, score,
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
          |  FROM scored) WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "ss06_mips_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  floor(list_sum(list_transform(range(len(emb)), i -> emb[i+1] * q_emb[i+1])) * 10000) / 10000 AS dot
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q29_range_window" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+        |FROM orders WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q27_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,

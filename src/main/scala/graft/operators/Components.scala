@@ -19,8 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** Drop the cached blocks behind a localCheckpoint'd frame (or a
+    * projection of one). Only call once no live frame depends on the
+    * checkpoint — local checkpoints truncate lineage, so evicted
+    * blocks cannot be recomputed.
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** @param pairs  undirected edges, two long columns
-    * @return (node, comp) — comp = min node id reachable
+    * @return (node, comp) — comp = min node id reachable. The frame is
+    *         backed by the final round's local checkpoint; all
+    *         intermediate round checkpoints (and the edge cache) are
+    *         unpersisted before returning.
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
@@ -47,9 +62,14 @@ object Components {
           comp("comp").as("old_comp"))
         .localCheckpoint()
       changed = next.filter(col("new_comp") < col("old_comp")).count()
+      // next is fully materialized (eager checkpoint) — the previous
+      // round's blocks are dead; without this, one RDD leaks per round
+      // for the life of the session
+      release(comp)
       comp = next.select(col("node"), col("new_comp").as("comp"))
       rounds += 1
     }
+    release(edges)
     comp
   }
 }

@@ -282,10 +282,14 @@ object Curation {
 
     // --- dd07: SimHash hamming pairs via band bucketing --------------
     // Near-dup pairs with hamming(simhash) <= 3 — candidates from 4
-    // bands of 6 bits (a pair within distance 3 shares at least one
-    // clean band... not guaranteed in general, but bands ARE the
-    // standard recall/cost dial; the oracle mirrors the same banding
-    // so the gate checks the construction, not a different one).
+    // bands of 6 bits. With all 24 bits covered by 4 disjoint bands,
+    // pigeonhole makes the cover EXACT for this layout: <= 3 flipped
+    // bits across 4 bands always leave at least one band clean, so
+    // every distance-<=3 pair shares a band and the candidate set is
+    // complete (banding only becomes a recall/cost dial when the
+    // threshold reaches the band count). The oracle mirrors the same
+    // banding so the gate checks this construction, not a different
+    // one.
     "dd07_hamming_pairs" -> { (s, d) =>
       // barrier-materialize the signature table: without it BOTH sides
       // of the self-join recompute the full tokenize+md5 simhash

@@ -120,6 +120,17 @@ object StreamJobs {
     * async micro-batch planning). The previous table of the same name
     * is dropped first — append-mode memory sinks accumulate across
     * restarts in one session.
+    *
+    * SINGLE-THREADED-SESSION ASSUMPTION: the shuffle-partition override
+    * is session-global while the stream drains, so any query planned
+    * concurrently on the same session would silently run at
+    * `stateParts` partitions, and concurrent snapshot calls could
+    * clobber each other's restore. All call sites (ev11/ev19/ev21 in
+    * the gated queries map, specs) run queries sequentially on the
+    * session; a stream built on a `SparkSession.cloneSession()` would
+    * isolate the conf, but the query must then start from the clone —
+    * i.e. the SOURCE frame has to be constructed on the clone, which
+    * this helper (handed an already-built frame) cannot do.
     */
   def runMemorySnapshot(
       df: DataFrame, name: String, mode: String, stateParts: Int = 4): DataFrame = {

@@ -57,6 +57,20 @@ class EdgeCaseSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components releases intermediate round caches") {
+    import graft.operators.Components
+    // a deep chain forces many rounds; the only cache surviving a run
+    // should be the FINAL round's checkpoint backing the result (the
+    // per-round intermediates and the edge cache must be unpersisted)
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val comp = Components.connectedComponents(chain, "a", "b")
+    assert(comp.count() === 25)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 1,
+      s"leaked ${after - before} cached RDDs across CC rounds")
+  }
+
   test("connected components: deep chain converges; non-convergence throws") {
     import graft.operators.Components
     // a 25-node chain needs many propagation rounds (diameter bound)

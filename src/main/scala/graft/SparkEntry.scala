@@ -29,10 +29,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreAnalytics.queries ++ EventPipeline.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ Similarity.queries2 ++
-      Multimodal.queries ++ Multimodal.queries2 ++ Curation.queries
+      Multimodal.queries ++ Multimodal.queries2 ++ Curation.queries ++
+      Round3.queries
 
   def oracleSql: Map[String, String] =
     CoreAnalytics.oracles ++ EventPipeline.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Similarity.oracles2 ++
-      Multimodal.oracles ++ Curation.oracles
+      Multimodal.oracles ++ Curation.oracles ++ Round3.oracles
 }

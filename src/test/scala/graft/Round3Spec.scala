@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Value-level ground truth for the round-3 operators (the DuckDB
+  * oracle checks cross-engine parity; these pin the SEMANTICS against
+  * hand-computed expectations on controlled inputs).
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a tiny documents table to a temp dir and return the dir. */
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r3").toString
+    rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dd09 flags shared 8-token spans and only those") {
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> s"$shared alpha beta gamma delta",
+      1L -> s"prefix one two three $shared",
+      2L -> "totally different words that never repeat anywhere else at all"))
+    val got = SparkEntry.queries("dd09_substring_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc0: 12 tokens → 5 windows, exactly 1 (the shared span) duplicated
+    assert(got(0L) === ((5L, 1L)))
+    // doc1: 12 tokens → 5 windows, the shared span is its LAST window
+    assert(got(1L) === ((5L, 1L)))
+    // doc2: 10 tokens → 3 windows, none duplicated
+    assert(got(2L) === ((3L, 0L)))
+  }
+
+  test("dd10 keeps the longest member per near-dup cluster") {
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val dir = docsDir(Seq(
+      0L -> body, // near-dup pair: identical shingles...
+      1L -> (body + " extra trailing words here"), // ...but doc1 is longer
+      2L -> "an unrelated island document with its own vocabulary entirely"))
+    val got = SparkEntry.queries("dd10_cluster_keeper")(spark, dir).collect()
+    // one cluster {0,1}; doc2 has no near-dup pair so it forms no cluster
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getAs[Long]("cluster_id") === 0L)
+    assert(r.getAs[Long]("n_members") === 2L)
+    assert(r.getAs[Long]("keeper") === 1L) // longest wins
+  }
+
+  test("tx12 scores docs by mean corpus token frequency") {
+    val dir = docsDir(Seq(
+      0L -> "a a b", // corpus freq: a=4, b=2, z=1
+      1L -> "a a b z"))
+    val got = SparkEntry.queries("tx12_unigram_lm")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L) === ((3L, math.floor((4 + 4 + 2) / 3.0 * 10000) / 10000)))
+    assert(got(1L) === ((4L, math.floor((4 + 4 + 2 + 1) / 4.0 * 10000) / 10000)))
+  }
+
+  test("pk02 chunk geometry: budget 32, stride 24, full coverage") {
+    val n99 = (1 to 99).map(i => s"t$i").mkString(" ")
+    val n32 = (1 to 32).map(i => s"t$i").mkString(" ")
+    val n33 = (1 to 33).map(i => s"t$i").mkString(" ")
+    val dir = docsDir(Seq(0L -> n99, 1L -> n32, 2L -> n33))
+    val got = SparkEntry.queries("pk02_chunk_overlap")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(got(0L) === Seq(32L, 32L, 32L, 27L)) // starts 0,24,48,72
+    assert(got(1L) === Seq(32L)) // fits the budget → one chunk
+    assert(got(2L) === Seq(32L, 9L)) // one over → budget chunk + tail
+  }
+
+  test("q30 cohort week-0 activity covers every cohort member") {
+    val df = SparkEntry.queries("q30_cohort_retention")(spark, sf)
+    val week0 = df.filter(col("weeks_since") === 0)
+      .select(col("cohort_week"), col("n_users"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val cohorts = graft.core.Tables.events(spark, sf)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      .groupBy(date_trunc("week", col("first_ts")).as("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // a user is by definition active in their own first-event week
+    assert(week0 === cohorts)
+    assert(df.filter(col("weeks_since") < 0).count() === 0)
+  }
+
+  test("q31 histogram partitions all orders; shares sum to ~1") {
+    val rows = SparkEntry.queries("q31_histogram")(spark, sf).collect()
+    val total = graft.core.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum === total)
+    assert(rows.forall(r => r.getAs[Long]("bucket") >= 0 && r.getAs[Long]("bucket") <= 19))
+    val pctSum = rows.map(_.getAs[Double]("pct")).sum
+    assert(pctSum > 0.99 && pctSum <= 1.0001, s"pct sum $pctSum")
+  }
+
+  test("ev22 compaction equals driver-side latest-state with tombstones") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values
+      .map(_.maxBy(e => (e._3.getTime, e._2)))
+      .filter(_._4 != "error")
+      .groupBy(_._4).map { case (k, v) => k -> v.size.toLong }
+    val got = SparkEntry.queries("ev22_cdc_upsert")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    assert(got === expected)
+  }
+
+  test("ev23 late-drop marks exactly the >10min-behind-hwm arrivals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r3ev").toString
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // arrival order = event_id; user 1: hwm after e1 is 10:30 —
+    // e2 (10:05) is 25 min behind → late; e3 (10:21) is 9 min → fine
+    Seq((1L, ts(30), 1L, "click", 1.0, "{}"),
+      (2L, ts(5), 1L, "click", 1.0, "{}"),
+      (3L, ts(21), 1L, "view", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}")) // other user: first arrival, no hwm
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("ev23_late_drop")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("click" -> ((2L, 1L)), "view" -> ((2L, 0L))))
+  }
+
+  test("mm05 reassembly round-trips every ascii doc") {
+    val rows = SparkEntry.queries("mm05_reassemble")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("ok") === 1),
+      "chunk reassembly failed digest check")
+  }
+
+  test("ss07 multi-probe shortlist equals the direct hamming filter") {
+    // the 137-bucket probe enumeration must reproduce exactly the
+    // hamming<=2 candidate set (then both re-rank identically)
+    val e = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("sketch", graft.operators.Similarity.signBucket(col("emb"), 16))
+    val qs = e.filter(col("vec_id") === 0).head.getAs[Long]("sketch")
+    val direct = e.filter(col("vec_id") =!= 0)
+      .filter(bit_count(col("sketch").bitwiseXOR(lit(qs))) <= 2)
+      .withColumn("cos_sim", lit(0)) // rank not under test here
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val gotAll = SparkEntry.queries("ss07_rerank")(spark, sf).collect()
+    assert(gotAll.forall(r => direct.contains(r.getLong(0))))
+    assert(gotAll.length === math.min(5, direct.size))
+    // ranked by cosine descending
+    val sims = gotAll.map(_.getAs[Double]("cos_sim")).toSeq
+    assert(sims === sims.sorted.reverse)
+  }
+}

@@ -238,6 +238,48 @@ object Round3 {
         .orderBy(col("doc_id"))
     },
 
+    // --- ev24: time-series gap fill (densification) ------------------
+    // Sparse hourly counts densify onto the full hour grid with zero
+    // fill — the stats.rs-style dashboard needs every interval
+    // present. The grid builds from two AGGREGATES (bounds × distinct
+    // types, thousands of rows at any scale), never from the fact
+    // table; facts contribute one groupBy, the grid left-joins the
+    // tiny count table.
+    "ev24_gap_fill" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val counts = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n_events"))
+      val grid = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      grid.join(counts, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"))
+        .orderBy(col("event_type"), col("h"))
+    },
+
+    // --- q32: stratified sampling ------------------------------------
+    // Per-stratum deterministic hash sampling (q26's primitive with
+    // per-group allocation): BUILDING keeps 10%, other segments 5% —
+    // the class-balancing subsample a training pipeline draws.
+    // Reproducible across engines and cluster sizes: membership is a
+    // pure hash of the key, no RNG state, no sort.
+    "q32_stratified_sample" -> { (s, d) =>
+      val rate = when(col("c_mktsegment") === "BUILDING", 10L).otherwise(5L)
+      Tables.customer(s, d)
+        .withColumn("keep",
+          (pmod(Hashing.hash64(col("c_custkey").cast("string")), lit(100)) < rate)
+            .cast("int"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_sampled"))
+        .select(col("c_mktsegment"), col("n_total"), col("n_sampled"),
+          Det.trunc4(col("n_sampled").cast("double") / col("n_total"))
+            .as("sample_rate"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // --- ss07: multi-probe LSH shortlist + exact re-rank -------------
     // The production ANN serving shape: a 16-bit sign sketch coarse-
     // filters, the query probes every bucket within hamming ≤ 2 of its
@@ -406,6 +448,35 @@ object Round3 {
         |  CAST(md5(reassembled) = md5(text) AS INT) AS ok
         |FROM a JOIN re ON a.doc_id = re.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+
+    "ev24_gap_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e),
+        |grid AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM e) t,
+        |       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        |        FROM b) g),
+        |c AS (SELECT event_type, h, COUNT(*) AS n_events FROM e GROUP BY 1, 2)
+        |SELECT grid.event_type, grid.h,
+        |  CAST(COALESCE(c.n_events, 0) AS BIGINT) AS n_events
+        |FROM grid LEFT JOIN c ON grid.event_type = c.event_type AND grid.h = c.h
+        |ORDER BY grid.event_type, grid.h""".stripMargin,
+
+    "q32_stratified_sample" -> {
+      val h = Hashing.duckHash64("CAST(c_custkey AS VARCHAR)")
+      s"""SELECT c_mktsegment, COUNT(*) AS n_total,
+         |  CAST(SUM(CASE WHEN $h % 100 <
+         |    (CASE WHEN c_mktsegment = 'BUILDING' THEN 10 ELSE 5 END)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |  ${Det.duckTrunc(
+              "CAST(SUM(CASE WHEN " + Hashing.duckHash64("CAST(c_custkey AS VARCHAR)") +
+                " % 100 < (CASE WHEN c_mktsegment = 'BUILDING' THEN 10 ELSE 5 END)" +
+                " THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS sample_rate
+         |FROM customer
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
 
     "ss07_rerank" ->
       s"""WITH e AS (

@@ -185,6 +185,34 @@ object StreamJobs {
       }
   }
 
+  case class ChangeIn(k: Long, ts: Long, off: Long, op: String, v: Option[Double])
+  case class ChangeState(ts: Long, off: Long, op: String, v: Option[Double])
+  case class ChangeOut(k: Long, ts: Long, op: String, v: Option[Double], live: Boolean)
+
+  /** Streaming CDC compaction (the ev22 batch operator as a stateful
+    * stream): state per key is the single latest record by (ts, off) —
+    * O(keys) total, the bound a compacted Kafka topic holds — and each
+    * batch emits the key's new compacted value. `op == "delete"` is a
+    * tombstone: the key's emission carries `live = false` so a
+    * downstream materializer drops it. The latest emission per key
+    * (max (ts, off)) IS the compacted snapshot at any point — state is
+    * monotone, late records older than the carried one never win.
+    */
+  def streamCompact(changes: Dataset[ChangeIn]): Dataset[ChangeOut] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState[ChangeState, ChangeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[ChangeIn], state: GroupState[ChangeState]) =>
+          val carried = state.getOption
+            .map(s => ChangeIn(k, s.ts, s.off, s.op, s.v)).iterator
+          val latest = (carried ++ rows).maxBy(r => (r.ts, r.off))
+          state.update(ChangeState(latest.ts, latest.off, latest.op, latest.v))
+          Iterator.single(
+            ChangeOut(k, latest.ts, latest.op, latest.v, latest.op != "delete"))
+      }
+  }
+
   /** configs.rs SyncModeSubCommand re-expressed as source positioning:
     * the reference resumes from interruption (checkpoint), from the
     * latest block, or from a given height — exactly Structured

@@ -83,7 +83,10 @@ class PlanAuditSpec extends SparkSpec {
     // the cheapest possible plan, not a pair explosion
     val singleRowCross = Set(
       "ss01_topk_cosine", "ss02_ann_signlsh", "ss03_ann_ivf",
-      "ss06_mips_topk", "ev10_event_funnel", "ev18_lag_stats", "tx11_tfidf")
+      "ss06_mips_topk", "ev10_event_funnel", "ev18_lag_stats", "tx11_tfidf",
+      // ev24's hour grid = 1-row bounds aggregate × distinct-types —
+      // both sides are aggregate outputs, thousands of rows at any SF
+      "ev24_gap_fill")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

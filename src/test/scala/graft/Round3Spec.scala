@@ -133,6 +133,64 @@ class Round3Spec extends SparkSpec {
       "chunk reassembly failed digest check")
   }
 
+  test("ev24 gap fill densifies the full hour grid with zeros") {
+    val rows = SparkEntry.queries("ev24_gap_fill")(spark, sf).collect()
+    val types = rows.map(_.getString(0)).distinct
+    val hours = rows.map(_.getTimestamp(1)).distinct
+    // dense: every (type, hour) cell present exactly once
+    assert(rows.length === types.length * hours.length)
+    // zero-filled cells exist (sparse input), and totals are preserved
+    assert(rows.exists(_.getAs[Long]("n_events") === 0L))
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total === graft.core.Tables.events(spark, sf).count())
+  }
+
+  test("q32 stratified sample rates track the per-stratum allocation") {
+    val rows = SparkEntry.queries("q32_stratified_sample")(spark, sf).collect()
+    rows.foreach { r =>
+      val target = if (r.getString(0) == "BUILDING") 0.10 else 0.05
+      val got = r.getAs[Double]("sample_rate")
+      // hash sampling is exact-in-expectation; small strata wobble
+      assert(math.abs(got - target) < 0.08, s"${r.getString(0)}: $got vs $target")
+    }
+  }
+
+  test("streaming CDC compaction converges to the batch compacted state") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamJobs
+    import graft.streaming.StreamJobs.ChangeIn
+    // the events table as a changelog: key = user, offset = event_id,
+    // 'error' plays the tombstone
+    val changes = graft.core.Tables.events(spark, sf)
+      .select(col("user_id").as("k"), expr("unix_micros(ts)").as("ts"),
+        col("event_id").as("off"),
+        when(col("event_type") === "error", "delete")
+          .otherwise(col("event_type")).as("op"),
+        when(col("event_type") =!= "error", col("value")).as("v"))
+      .as[ChangeIn].collect().sortBy(_.off)
+    val (b1, b2) = changes.splitAt(changes.length / 2)
+    val in = MemoryStream[ChangeIn]
+    val q = StreamJobs.streamCompact(in.toDS()).writeStream
+      .format("memory").queryName("compact_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    in.addData(b1.toSeq); q.processAllAvailable()
+    in.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    // compacted snapshot = latest emission per key
+    val snap = spark.table("compact_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(4)))
+      .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+    val expected = changes.groupBy(_.k).map { case (k, v) =>
+      val latest = v.maxBy(r => (r.ts, r.off))
+      k -> ((k, latest.ts, latest.op, latest.op != "delete"))
+    }
+    assert(snap === expected)
+    // tombstoned keys are emitted dead, not silently dropped
+    assert(snap.values.exists(!_._4))
+  }
+
   test("ss07 multi-probe shortlist equals the direct hamming filter") {
     // the 137-bucket probe enumeration must reproduce exactly the
     // hamming<=2 candidate set (then both re-rank identically)

@@ -72,4 +72,83 @@ object Components {
     release(edges)
     comp
   }
+
+  /** Connected components via alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — O(log n) rounds regardless of component DIAMETER,
+    * where min-label propagation needs O(diameter) rounds. Near-dup
+    * graphs are star-like so propagation usually wins on constants;
+    * this is the scale path for deep/chain-shaped graphs (URL chains,
+    * citation paths) where diameter ~ n.
+    *
+    * Each round: large-star hangs every strictly-larger neighbor onto
+    * the neighborhood minimum, small-star hangs the smaller ones;
+    * at the fixpoint the edge set is exactly one star per component,
+    * centered at the component minimum. Rounds are groupBy+join (the
+    * same shuffle shape as propagation) with per-round checkpoints;
+    * intermediate caches release as soon as the successor is
+    * materialized.
+    *
+    * @return (node, comp) — identical contract to
+    *         [[connectedComponents]], including isolated self-loop
+    *         nodes labeling themselves.
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val raw = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = raw.select(col("src").as("node"))
+      .unionByName(raw.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    // canonical orientation u > v; self-loops carry no connectivity
+    var edges = raw.filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds <= maxRounds) {
+      if (rounds == maxRounds)
+        throw new IllegalStateException(
+          s"connectedComponentsStar did not converge in $maxRounds rounds " +
+            "— not expected for any graph (bound is O(log^2 n)); check for " +
+            "nondeterministic input")
+      // large-star: over bidirectional neighborhoods, every neighbor
+      // b > a hangs onto m = min(Γ(a) ∪ {a})
+      val bi = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+      val minsL = bi.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      val afterLarge = bi.join(minsL, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v")) // b > a ≥ m
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      // small-star: per larger endpoint u, all smaller neighbors (and
+      // u itself) hang onto m = min of the smaller neighborhood
+      val minsS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hangSelf = minsS.select(col("u"), col("m").as("v"))
+      val hangNbrs = afterLarge.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val next = hangSelf.unionByName(hangNbrs)
+        .filter(col("u") =!= col("v"))
+        .distinct().localCheckpoint()
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      release(afterLarge)
+      release(edges)
+      edges = next
+      rounds += 1
+    }
+    // fixpoint: edges are (member, component-min) stars
+    val labels = edges.groupBy(col("u").as("node")).agg(min(col("v")).as("lbl"))
+    val out = nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("comp"))
+      .localCheckpoint()
+    release(edges)
+    release(nodes)
+    out
+  }
 }

@@ -86,6 +86,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("star-CC handles deep chains, self-loops, and empty input") {
+    import graft.operators.Components
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Components.connectedComponentsStar(empty, "a", "b").count() === 0)
+    // a 25-node chain: diameter 24 — propagation's worst case, but
+    // star rounds collapse it logarithmically (would throw if it took
+    // anywhere near the propagation count)
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Components.connectedComponentsStar(chain, "a", "b", maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size === 25 && comp.values.forall(_ == 0L))
+    // self-loop + pair: loop node labels itself
+    val mixed = Seq((5L, 5L), (10L, 11L)).toDF("a", "b")
+    val m = Components.connectedComponentsStar(mixed, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(5L -> 5L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("tx08 winnowing tolerates docs shorter than the gram+window span") {
     // build a tiny documents table with degenerate texts and run the
     // same expression pipeline via a temp parquet dir

@@ -87,6 +87,11 @@ class RandomizedEquivalenceSpec extends SparkSpec {
         .connectedComponents(pairs.toDF("a", "b"), "a", "b")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected, s"seed=$seed")
+      // the large/small-star variant must agree label-for-label
+      val gotStar = graft.operators.Components
+        .connectedComponentsStar(pairs.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStar === expected, s"star seed=$seed")
     }
   }
 

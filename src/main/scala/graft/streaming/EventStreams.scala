@@ -168,4 +168,19 @@ object EventStreams {
       eventKey.as("key"), value.as("value"),
       explode(array(eventTopic(prefix), lit(allTopic))).as("topic"))
   }
+
+  /** The metadata-topic delivery (events.rs:168-225
+    * send_event_with_metadata): flattened+enriched per-token records
+    * go to `<event_topic>_metadata` — a THIRD delivery alongside the
+    * specific and catch-all envelope deliveries, not a replacement for
+    * them. Input is the [[flattenNep171]]→[[enrichMetadata]] frame;
+    * the flat record serializes whole, like the reference's enriched
+    * event JSON.
+    */
+  def metadataRecords(enriched: DataFrame, prefix: String): DataFrame = {
+    val value = to_json(struct(enriched.columns.map(col).toSeq: _*))
+    enriched.select(
+      eventKey.as("key"), value.as("value"),
+      concat(eventTopic(prefix), lit("_metadata")).as("topic"))
+  }
 }

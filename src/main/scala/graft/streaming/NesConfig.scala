@@ -38,23 +38,32 @@ final case class NesConfig(
     StreamJobs.Kafka.clientOptions(kafka)
 
   /** The config's pipeline: extract → validate → white/blacklist →
-    * (optional metadata enrichment) → kafka-record shaping with the
-    * catch-all fanout. `tokens` supplies the metadata dim when
-    * `enrichMetadata` is set (the reference's per-token RPC lookup,
-    * re-expressed as a broadcast join).
+    * kafka-record shaping with the catch-all fanout, PLUS — when
+    * `enrichMetadata` is set — the `<topic>_metadata` delivery of
+    * flattened+enriched per-token records (events.rs:157-196 sends
+    * every event to its topic AND the all-topic AND, enrichment on,
+    * the flat enriched copies to `<topic>_metadata`; enrichment never
+    * replaces the envelope deliveries). `tokens` supplies the
+    * metadata dim (the reference's per-token RPC lookup, re-expressed
+    * as a broadcast join). The union's two branches re-evaluate the
+    * extract upstream — the cost of the dual-shape fanout; the
+    * reference likewise serializes the event once per delivery.
     */
   def pipeline(logs: DataFrame, tokens: Option[DataFrame] = None): DataFrame = {
     val filtered = EventStreams.filterContracts(
       EventStreams.validated(EventStreams.extractEvents(logs)),
       whitelistContractIds, blacklistContractIds)
-    val staged =
-      if (enrichMetadata)
-        EventStreams.enrichMetadata(
-          EventStreams.flattenNep171(filtered),
-          tokens.getOrElse(throw new IllegalArgumentException(
-            "enrich_metadata=true requires a tokens metadata frame")))
-      else filtered
-    EventStreams.toKafkaRecords(staged, nearEventsTopicPrefix, nearEventsAllTopic)
+    val main = EventStreams.toKafkaRecords(
+      filtered, nearEventsTopicPrefix, nearEventsAllTopic)
+    if (!enrichMetadata) main
+    else {
+      val enriched = EventStreams.enrichMetadata(
+        EventStreams.flattenNep171(filtered),
+        tokens.getOrElse(throw new IllegalArgumentException(
+          "enrich_metadata=true requires a tokens metadata frame")))
+      main.unionByName(
+        EventStreams.metadataRecords(enriched, nearEventsTopicPrefix))
+    }
   }
 }
 

@@ -51,17 +51,25 @@ class NesConfigSpec extends SparkSpec {
     val remaining = blacklisted.select(col("key")).distinct().as[String].collect().toSet
     assert(remaining === Set("contract3.near"))
 
-    // enrich_metadata=true flattens NEP-171 arrays and broadcast-joins
-    // the token metadata dim
+    // enrich_metadata=true ADDS the <topic>_metadata delivery of
+    // flattened+enriched records; the envelope still goes to the
+    // specific and catch-all topics (events.rs three-way try_join)
     val tokens = Seq(
       ("contract0.near", "100:0", "Token #0", "ipfs://m0", """{"rarity":"epic"}"""))
       .toDF("contract_account_id", "token_id", "title", "media", "extra")
     val enriched = NesConfig.fromProperties(Map(
       "whitelist_contract_ids" -> "contract0.near",
       "enrich_metadata" -> "true")).pipeline(logs, Some(tokens))
-    assert(enriched.count() > 0)
+    val enrichedTopics = enriched.select(col("topic")).distinct()
+      .as[String].collect().toSet
+    assert(enrichedTopics === Set("near.events.nep171.nft_mint",
+      "near.events.all", "near.events.nep171.nft_mint_metadata"))
     val value = enriched.filter(col("topic") === "near.events.all").head.getAs[String]("value")
     assert(value.contains("nft_mint"))
+    val metaValue = enriched
+      .filter(col("topic") === "near.events.nep171.nft_mint_metadata")
+      .head.getAs[String]("value")
+    assert(metaValue.contains("token_id") && metaValue.contains("_id"))
   }
 
   test("runConfigured honors enrich_metadata end-to-end (file source -> per-topic parquet)") {
@@ -80,10 +88,12 @@ class NesConfigSpec extends SparkSpec {
       srcDir, outDir, chk, Some(tokens))
     q.awaitTermination()
     val out = spark.read.parquet(outDir)
-    // flattened per-token records, enriched _id present, both topics
-    assert(out.count() === 5L * 2) // 1 mint/block (log 0), 2 topics each
+    // 1 mint/block (log 0): envelope to 2 topics + 1 flat enriched
+    // record to the _metadata topic = 3 deliveries per block
+    assert(out.count() === 5L * 3)
     assert(out.columns.contains("value"))
-    val v = out.head.getAs[String]("value")
+    val v = out.filter(col("topic").endsWith("_metadata"))
+      .head.getAs[String]("value")
     assert(v.contains("token_id") && v.contains("_id"))
   }
 

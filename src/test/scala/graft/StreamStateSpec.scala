@@ -74,6 +74,33 @@ class StreamStateSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("watermark drops late events from windowed aggregation (ev23's streaming twin)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[KeyedEvent]
+    val agg = in.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(KeyedEvent("a", ts("2024-01-01 10:00:00"), 1),
+      KeyedEvent("a", ts("2024-01-01 10:30:00"), 2))
+    q.processAllAvailable() // watermark after this batch: 10:20
+    in.addData(KeyedEvent("a", ts("2024-01-01 10:05:00"), 3), // LATE → dropped
+      KeyedEvent("a", ts("2024-01-01 10:25:00"), 4)) // within watermark → kept
+    q.processAllAvailable()
+    in.addData(KeyedEvent("a", ts("2024-01-01 11:00:00"), 5)) // finalize earlier windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm_out").collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // the 10:00 window finalized WITHOUT the late 10:05 arrival —
+    // exactly the per-key high-water-mark drop ev23 censuses in batch
+    assert(got(ts("2024-01-01 10:00:00")) === 1L)
+    assert(got(ts("2024-01-01 10:20:00")) === 1L)
+    assert(got(ts("2024-01-01 10:30:00")) === 1L)
+  }
+
   test("stream-stream interval join correlates within the bound") {
     implicit val sqlCtx = spark.sqlContext
     val signups = MemoryStream[KeyedEvent]

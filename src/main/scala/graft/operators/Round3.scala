@@ -280,6 +280,69 @@ object Round3 {
         .orderBy(col("c_mktsegment"))
     },
 
+    // --- dd11: semantic dedup clusters (star-CC under the gate) ------
+    // Embedding-cosine candidate pairs (dd05's bucket construction at
+    // a clustering threshold) → connected components via the
+    // LARGE/SMALL-STAR algorithm — this puts connectedComponentsStar
+    // under the DuckDB oracle alongside dd06's propagation variant.
+    // Pair generation stays a label-bucket equi-join; the cluster
+    // census is the semantic-dedup group map a curation pipeline
+    // feeds to keeper selection.
+    "dd11_semantic_clusters" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("norm", Similarity.l2norm(col("emb")))
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("emb").as("emb_a"), col("norm").as("norm_a"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"),
+        col("emb").as("emb_b"), col("norm").as("norm_b"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos_sim", Det.trunc4(
+          Similarity.dot(col("emb_a"), col("emb_b")) /
+            (col("norm_a") * col("norm_b"))))
+        .filter(col("cos_sim") >= 0.2)
+        .select(col("vec_a"), col("vec_b"))
+      Components.connectedComponentsStar(pairs, "vec_a", "vec_b")
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // --- ss08: ANN recall evaluation ---------------------------------
+    // The eval harness every ANN deployment needs: recall@10 of the
+    // sign-LSH bucket search (ss02's scale path) against brute-force
+    // ground truth (ss01) — measured, not guessed, and cheap enough
+    // to run per index build. One scan + broadcast query row; both
+    // rankings share the scored frame.
+    "ss08_recall_eval" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .withColumn("norm", Similarity.l2norm(col("emb")))
+        .withColumn("bucket", Similarity.signBucket(col("emb")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("q_emb"), col("norm").as("q_norm"),
+          col("bucket").as("q_bucket"))
+      val scored = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("cos_sim", Det.trunc4(
+          Similarity.dot(col("emb"), col("q_emb")) /
+            (col("norm") * col("q_norm"))))
+      val truth = scored
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"))
+      val approx = scored.filter(col("bucket") === col("q_bucket"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+        .select(col("n_truth"), col("n_hit"),
+          Det.trunc4(col("n_hit").cast("double") / col("n_truth"))
+            .as("recall_at_10"))
+    },
+
     // --- ss07: multi-probe LSH shortlist + exact re-rank -------------
     // The production ANN serving shape: a 16-bit sign sketch coarse-
     // filters, the query probes every bucket within hamming ≤ 2 of its
@@ -476,6 +539,58 @@ object Round3 {
                 " THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS sample_rate
          |FROM customer
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    },
+
+    "dd11_semantic_clusters" -> {
+      val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
+      val duckCos = Det.duckTrunc(
+        "list_sum(list_transform(range(len(a.emb)), i -> a.emb[i+1] * b.emb[i+1]))" +
+          " / (a.norm * b.norm)", 4)
+      s"""WITH RECURSIVE n AS (
+         |  SELECT vec_id, label, emb, $duckNorm AS norm
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+         |        FROM embeddings)),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE $duckCos >= 0.2
+         |), edges AS (
+         |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+         |  UNION
+         |  SELECT vec_b, vec_a FROM pairs
+         |), walk(node, reach) AS (
+         |  SELECT src, dst FROM edges UNION SELECT src, src FROM edges
+         |  UNION
+         |  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+         |)
+         |SELECT cluster_id, COUNT(*) AS n_members, MAX(node) AS max_member FROM (
+         |  SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node)
+         |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+
+    "ss08_recall_eval" -> {
+      val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
+      val duckBucket = (0 until 8).map(i =>
+        s"CASE WHEN emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      val duckCos = Det.duckTrunc(
+        "list_sum(list_transform(range(len(emb)), i -> emb[i+1] * q_emb[i+1]))" +
+          " / (norm * q_norm)", 4)
+      s"""WITH e AS (
+         |  SELECT vec_id, emb, $duckNorm AS norm,
+         |    CAST($duckBucket AS BIGINT) AS bucket
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+         |q AS (SELECT emb AS q_emb, norm AS q_norm, bucket AS q_bucket
+         |      FROM e WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id, bucket, q_bucket, $duckCos AS cos_sim
+         |  FROM e, q WHERE vec_id <> 0),
+         |truth AS (SELECT vec_id FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10),
+         |approx AS (SELECT vec_id, 1 AS hit FROM scored WHERE bucket = q_bucket
+         |           ORDER BY cos_sim DESC, vec_id LIMIT 10)
+         |SELECT COUNT(*) AS n_truth,
+         |  CAST(SUM(COALESCE(hit, 0)) AS BIGINT) AS n_hit,
+         |  ${Det.duckTrunc("CAST(SUM(COALESCE(hit, 0)) AS DOUBLE) / COUNT(*)", 4)} AS recall_at_10
+         |FROM truth LEFT JOIN approx ON truth.vec_id = approx.vec_id""".stripMargin
     },
 
     "ss07_rerank" ->

@@ -86,7 +86,9 @@ class PlanAuditSpec extends SparkSpec {
       "ss06_mips_topk", "ev10_event_funnel", "ev18_lag_stats", "tx11_tfidf",
       // ev24's hour grid = 1-row bounds aggregate × distinct-types —
       // both sides are aggregate outputs, thousands of rows at any SF
-      "ev24_gap_fill")
+      "ev24_gap_fill",
+      // ss08 broadcasts the single query row like ss01/ss02
+      "ss08_recall_eval")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

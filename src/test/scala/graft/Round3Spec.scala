@@ -191,6 +191,61 @@ class Round3Spec extends SparkSpec {
     assert(snap.values.exists(!_._4))
   }
 
+  test("dd11 semantic clusters equal driver-side union-find on the pair graph") {
+    // rebuild the same candidate pairs (label bucket, cos >= 0.2)
+    // driver-side and union-find them — the star-CC census must match
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val t = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(t * 10000) / 10000
+    }
+    val pairs = for {
+      a <- vecs; b <- vecs
+      if a._2 == b._2 && a._1 < b._1 && cos(a._3, b._3) >= 0.2
+    } yield (a._1, b._1)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val root = find(p); parent(x) = root; root }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.toSeq.map(find).groupBy(identity)
+      .map { case (c, ms) => c -> ms.size.toLong }
+    val got = SparkEntry.queries("dd11_semantic_clusters")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("ss08 recall matches an independent driver-side evaluation") {
+    val vecs = graft.core.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val q = vecs.find(_._1 == 0).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val t = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(t * 10000) / 10000
+    }
+    def bucket(a: Array[Double]): Long =
+      (0 until 8).map(i => if (a(i) > 0.0) 1L << i else 0L).sum
+    val scored = vecs.filter(_._1 != 0)
+      .map { case (id, v) => (id, cos(v, q), bucket(v)) }
+    val ord = Ordering.by[(Long, Double, Long), (Double, Long)](t => (-t._2, t._1))
+    val truth = scored.sorted(ord).take(10).map(_._1).toSet
+    val approx = scored.filter(_._3 == bucket(q)).sorted(ord).take(10).map(_._1).toSet
+    val r = SparkEntry.queries("ss08_recall_eval")(spark, sf).head
+    assert(r.getAs[Long]("n_truth") === 10L)
+    assert(r.getAs[Long]("n_hit") === (truth & approx).size.toLong)
+    assert(r.getAs[Double]("recall_at_10") ===
+      math.floor((truth & approx).size / 10.0 * 10000) / 10000)
+  }
+
   test("ss07 multi-probe shortlist equals the direct hamming filter") {
     // the 137-bucket probe enumeration must reproduce exactly the
     // hamming<=2 candidate set (then both re-rank identically)

@@ -31,6 +31,24 @@ object Components {
       case _ => ()
     }
 
+  /** The RESULT frame of each invocation is backed by a final
+    * checkpoint that must outlive the call; it is released on the
+    * NEXT invocation (the Dedup.barrier pattern), bounding a
+    * long-lived session to one retained RDD per algorithm instead of
+    * one per call. Consequence: materialize (collect/write/aggregate)
+    * a result before computing another set of components — a stale
+    * result frame read after a newer call throws on the missing
+    * checkpoint blocks rather than silently recomputing.
+    */
+  private val liveResults =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private def trackResult(df: DataFrame): DataFrame = {
+    var old = liveResults.poll()
+    while (old != null) { release(old); old = liveResults.poll() }
+    liveResults.add(df)
+    df
+  }
+
   /** @param pairs  undirected edges, two long columns
     * @return (node, comp) — comp = min node id reachable. The frame is
     *         backed by the final round's local checkpoint; all
@@ -70,7 +88,7 @@ object Components {
       rounds += 1
     }
     release(edges)
-    comp
+    trackResult(comp)
   }
 
   /** Connected components via alternating large-star / small-star
@@ -149,6 +167,6 @@ object Components {
       .localCheckpoint()
     release(edges)
     release(nodes)
-    out
+    trackResult(out)
   }
 }

@@ -144,10 +144,14 @@ object Round3 {
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
       val cohort = ev.groupBy(col("user_id"))
         .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      // week distance via CALENDAR-day diff of the week-truncated
+      // dates (always an exact multiple of 7) — an epoch-seconds
+      // diff / 604800 would mis-bucket across DST transitions on
+      // non-UTC sessions
       ev.join(cohort, Seq("user_id"))
         .withColumn("weeks_since",
-          ((unix_timestamp(date_trunc("week", col("ts"))) -
-            unix_timestamp(col("cohort_week"))) / 604800).cast("long"))
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+            col("cohort_week").cast("date")) / 7).cast("long"))
         .groupBy(col("cohort_week"), col("weeks_since"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_week"), col("weeks_since"))
@@ -248,12 +252,14 @@ object Round3 {
     "ev24_gap_fill" -> { (s, d) =>
       val ev = Tables.events(s, d)
         .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      val counts = ev.groupBy(col("event_type"), col("h"))
-        .agg(count(lit(1)).as("n_events"))
-      val grid = ev.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      // ONE fact scan: bounds and the type set derive from the
+      // (tiny, persisted) count table, not from re-scanning events
+      val counts = Dedup.barrier(ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n_events")))
+      val grid = counts.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("INTERVAL 1 HOUR"))).as("h"))
-        .crossJoin(ev.select(col("event_type")).distinct())
+        .crossJoin(counts.select(col("event_type")).distinct())
       grid.join(counts, Seq("event_type", "h"), "left")
         .select(col("event_type"), col("h"),
           coalesce(col("n_events"), lit(0L)).as("n_events"))
@@ -324,11 +330,13 @@ object Round3 {
       val q = e.filter(col("vec_id") === 0)
         .select(col("emb").as("q_emb"), col("norm").as("q_norm"),
           col("bucket").as("q_bucket"))
-      val scored = e.filter(col("vec_id") =!= 0)
+      // both rankings consume scored — persist it or the scan +
+      // cosine stage evaluates twice (the dd07 barrier lesson)
+      val scored = Dedup.barrier(e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("cos_sim", Det.trunc4(
           Similarity.dot(col("emb"), col("q_emb")) /
-            (col("norm") * col("q_norm"))))
+            (col("norm") * col("q_norm")))))
       val truth = scored
         .orderBy(col("cos_sim").desc, col("vec_id")).limit(10)
         .select(col("vec_id"))
@@ -456,8 +464,8 @@ object Round3 {
         |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
         |  FROM events GROUP BY user_id)
         |SELECT cohort_week,
-        |  CAST((CAST(epoch(date_trunc('week', ts)) AS BIGINT) -
-        |        CAST(epoch(cohort_week) AS BIGINT)) / 604800 AS BIGINT) AS weeks_since,
+        |  CAST(date_diff('day', CAST(cohort_week AS DATE),
+        |       CAST(date_trunc('week', ts) AS DATE)) // 7 AS BIGINT) AS weeks_since,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events JOIN cohort USING (user_id)
         |GROUP BY cohort_week, weeks_since

@@ -187,7 +187,8 @@ object StreamJobs {
 
   case class ChangeIn(k: Long, ts: Long, off: Long, op: String, v: Option[Double])
   case class ChangeState(ts: Long, off: Long, op: String, v: Option[Double])
-  case class ChangeOut(k: Long, ts: Long, op: String, v: Option[Double], live: Boolean)
+  case class ChangeOut(k: Long, ts: Long, off: Long, op: String, v: Option[Double],
+      live: Boolean)
 
   /** Streaming CDC compaction (the ev22 batch operator as a stateful
     * stream): state per key is the single latest record by (ts, off) —
@@ -208,8 +209,10 @@ object StreamJobs {
             .map(s => ChangeIn(k, s.ts, s.off, s.op, s.v)).iterator
           val latest = (carried ++ rows).maxBy(r => (r.ts, r.off))
           state.update(ChangeState(latest.ts, latest.off, latest.op, latest.v))
-          Iterator.single(
-            ChangeOut(k, latest.ts, latest.op, latest.v, latest.op != "delete"))
+          // off rides along so a materializer can order emissions
+          // under ts ties — "latest per key" means max (ts, off)
+          Iterator.single(ChangeOut(k, latest.ts, latest.off, latest.op,
+            latest.v, latest.op != "delete"))
       }
   }
 

@@ -177,18 +177,18 @@ class Round3Spec extends SparkSpec {
     in.addData(b1.toSeq); q.processAllAvailable()
     in.addData(b2.toSeq); q.processAllAvailable()
     q.stop()
-    // compacted snapshot = latest emission per key
+    // compacted snapshot = latest emission per key by (ts, off)
     val snap = spark.table("compact_out")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        r.getBoolean(4)))
-      .groupBy(_._1).map { case (k, v) => k -> v.maxBy(_._2) }
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getBoolean(5)))
+      .groupBy(_._1).map { case (k, v) => k -> v.maxBy(e => (e._2, e._3)) }
     val expected = changes.groupBy(_.k).map { case (k, v) =>
       val latest = v.maxBy(r => (r.ts, r.off))
-      k -> ((k, latest.ts, latest.op, latest.op != "delete"))
+      k -> ((k, latest.ts, latest.off, latest.op, latest.op != "delete"))
     }
     assert(snap === expected)
     // tombstoned keys are emitted dead, not silently dropped
-    assert(snap.values.exists(!_._4))
+    assert(snap.values.exists(!_._5))
   }
 
   test("dd11 semantic clusters equal driver-side union-find on the pair graph") {

@@ -316,6 +316,38 @@ object Round3 {
         .orderBy(col("cluster_id"))
     },
 
+    // --- dd12: MinHash estimator-quality evaluation ------------------
+    // ss08's counterpart for the dedup side: over the min-shingle
+    // candidate pairs, compare the k=16 MinHash Jaccard estimate
+    // (fraction of agreeing signature components) against the exact
+    // shingle-set Jaccard — the sketch-accuracy dial (k) gets
+    // measured, not guessed. One persisted signature table, one
+    // bucket self-join.
+    "dd12_minhash_estimate" -> { (s, d) =>
+      val base = Dedup.barrier(Tables.documents(s, d)
+        .withColumn("toks", toks(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), Dedup.shingleHashes(col("toks")).as("shs"))
+        .withColumn("sig", Dedup.minhashSig(col("shs")))
+        .withColumn("bucket", array_min(col("shs"))))
+      val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
+        col("shs").as("sh_a"), col("sig").as("sig_a"))
+      val b = base.select(col("bucket"), col("doc_id").as("doc_b"),
+        col("shs").as("sh_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard", Det.trunc4(
+          col("n_common").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))))
+        .withColumn("mh_est", Det.trunc4(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            h => h)).cast("double") / Dedup.MinhashK))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"), col("mh_est"),
+          Det.trunc4(abs(col("mh_est") - col("jaccard"))).as("abs_err"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // --- ss08: ANN recall evaluation ---------------------------------
     // The eval harness every ANN deployment needs: recall@10 of the
     // sign-LSH bucket search (ss02's scale path) against brute-force
@@ -574,6 +606,27 @@ object Round3 {
          |SELECT cluster_id, COUNT(*) AS n_members, MAX(node) AS max_member FROM (
          |  SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node)
          |GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    },
+
+    "dd12_minhash_estimate" -> {
+      import Dedup.{A, B, MinhashK, P}
+      val sigList = (0 until MinhashK).map(k =>
+        s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P))")
+        .mkString("[", ", ", "]")
+      val jac = "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /" +
+        " (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))"
+      val est = "CAST(list_sum(list_transform(range(" + MinhashK + ")," +
+        " i -> CASE WHEN a.sig[i+1] = b.sig[i+1] THEN 1 ELSE 0 END)) AS DOUBLE) / " + MinhashK
+      s"""WITH sh_t AS (
+         |  SELECT doc_id, shs, $sigList AS sig, list_min(shs) AS bucket
+         |  FROM (SELECT doc_id, ${Dedup.duckShs} AS shs FROM documents
+         |        WHERE len(${Dedup.duckToks}) >= 3))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ${Det.duckTrunc(jac, 4)} AS jaccard,
+         |  ${Det.duckTrunc(est, 4)} AS mh_est,
+         |  ${Det.duckTrunc(s"abs((${Det.duckTrunc(est, 4)}) - (${Det.duckTrunc(jac, 4)}))", 4)} AS abs_err
+         |FROM sh_t a JOIN sh_t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "ss08_recall_eval" -> {

@@ -222,6 +222,24 @@ class Round3Spec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("dd12 minhash estimate is exact on identical docs and bounded in [0,1]") {
+    val body = (1 to 20).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(0L -> body, 1L -> body, // identical → J=1, est=1
+      2L -> ((1 to 10).map(i => s"w$i").mkString(" ") + " x y z"))) // partial overlap
+    val rows = SparkEntry.queries("dd12_minhash_estimate")(spark, dir).collect()
+    val ident = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(ident.getAs[Double]("jaccard") === 1.0)
+    assert(ident.getAs[Double]("mh_est") === 1.0)
+    assert(ident.getAs[Double]("abs_err") === 0.0)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("mh_est")
+      assert(est >= 0.0 && est <= 1.0)
+      val expectedErr = math.floor(
+        math.abs(est - r.getAs[Double]("jaccard")) * 10000) / 10000
+      assert(r.getAs[Double]("abs_err") === expectedErr)
+    }
+  }
+
   test("ss08 recall matches an independent driver-side evaluation") {
     val vecs = graft.core.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>"))

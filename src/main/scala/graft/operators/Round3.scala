@@ -177,6 +177,62 @@ object Round3 {
         .orderBy(col("bucket"))
     },
 
+    // --- q33: RFM segmentation ---------------------------------------
+    // Recency/frequency/monetary quintile scoring — the classic
+    // customer-segmentation (and data-freshness-tiering) shape. The
+    // fact table folds to one row per customer FIRST; the reference
+    // date and the ntile windows run over that small frame (global
+    // windows over ~|customers| rows, never the fact table). Ties
+    // break on custkey so both engines bucket identically.
+    "q33_rfm_segments" -> { (s, d) =>
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
+      val w = Window.partitionBy()
+      def tile(c: Column, tb: Column) =
+        ntile(5).over(Window.orderBy(c, tb))
+      perCust
+        .withColumn("r_days",
+          datediff(max(col("last_order")).over(w), col("last_order")))
+        .withColumn("r_score", tile(col("r_days"), col("o_custkey")))
+        .withColumn("f_score", tile(col("frequency"), col("o_custkey")))
+        .withColumn("m_score", tile(col("monetary"), col("o_custkey")))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
+    // --- ev25: multi-step funnel -------------------------------------
+    // signup → first view AFTER signup → first purchase AFTER that
+    // view, with per-step conversion rates — ev10's two-step funnel
+    // generalized to ordered steps. Every stage is keyed on user
+    // (co-partitioned joins); the census is one row.
+    "ev25_funnel_steps" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val vw = ev.filter(col("event_type") === "view")
+        .join(su, Seq("user_id"))
+        .filter(col("ts") > col("s_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(vw, Seq("user_id"))
+        .filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      su.join(vw, Seq("user_id"), "left")
+        .join(pu, Seq("user_id"), "left")
+        .agg(count(col("s_ts")).as("n_signup"),
+          count(col("v_ts")).as("n_viewed"),
+          count(col("p_ts")).as("n_purchased"))
+        .select(col("n_signup"), col("n_viewed"), col("n_purchased"),
+          Det.trunc4(col("n_viewed").cast("double") / col("n_signup"))
+            .as("view_rate"),
+          Det.trunc4(col("n_purchased").cast("double") / col("n_signup"))
+            .as("purchase_rate"))
+    },
+
     // --- ev22: CDC compaction with tombstones ------------------------
     // The compacted-topic materialization: the event stream is a
     // changelog keyed by user, the latest record per key wins
@@ -512,6 +568,47 @@ object Round3 {
          |    COUNT(*) AS n_orders
          |  FROM orders GROUP BY 1)
          |ORDER BY bucket""".stripMargin,
+
+    "q33_rfm_segments" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |rd AS (
+        |  SELECT o_custkey, frequency, monetary,
+        |    date_diff('day', CAST(last_order AS DATE),
+        |      CAST(MAX(last_order) OVER () AS DATE)) AS r_days
+        |  FROM pc),
+        |scored AS (
+        |  SELECT
+        |    NTILE(5) OVER (ORDER BY r_days, o_custkey) AS r_score,
+        |    NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+        |    NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+        |  FROM rd)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+        |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "ev25_funnel_steps" ->
+      s"""WITH su AS (
+         |  SELECT user_id, MIN(ts) AS s_ts FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |vw AS (
+         |  SELECT e.user_id, MIN(e.ts) AS v_ts
+         |  FROM events e JOIN su ON e.user_id = su.user_id
+         |  WHERE e.event_type = 'view' AND e.ts > su.s_ts
+         |  GROUP BY e.user_id),
+         |pu AS (
+         |  SELECT e.user_id, MIN(e.ts) AS p_ts
+         |  FROM events e JOIN vw ON e.user_id = vw.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > vw.v_ts
+         |  GROUP BY e.user_id)
+         |SELECT COUNT(s_ts) AS n_signup, COUNT(v_ts) AS n_viewed,
+         |  COUNT(p_ts) AS n_purchased,
+         |  ${Det.duckTrunc("CAST(COUNT(v_ts) AS DOUBLE) / COUNT(s_ts)", 4)} AS view_rate,
+         |  ${Det.duckTrunc("CAST(COUNT(p_ts) AS DOUBLE) / COUNT(s_ts)", 4)} AS purchase_rate
+         |FROM su LEFT JOIN vw ON su.user_id = vw.user_id
+         |        LEFT JOIN pu ON su.user_id = pu.user_id""".stripMargin,
 
     "ev22_cdc_upsert" ->
       """SELECT event_type AS last_event_type, COUNT(*) AS n_users,

@@ -126,6 +126,38 @@ class Round3Spec extends SparkSpec {
     assert(got === Map("click" -> ((2L, 1L)), "view" -> ((2L, 0L))))
   }
 
+  test("q33 RFM quintiles partition every ordering customer") {
+    val rows = SparkEntry.queries("q33_rfm_segments")(spark, sf).collect()
+    val nCustomers = graft.core.Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCustomers)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 5, s"$c=$v")
+      }
+    }
+  }
+
+  test("ev25 funnel requires strictly ordered steps") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r3fn").toString
+    def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    Seq(
+      (1L, ts(1), 1L, "signup", 1.0, "{}"), // u1: full ordered funnel
+      (2L, ts(2), 1L, "view", 1.0, "{}"),
+      (3L, ts(3), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(1), 2L, "signup", 1.0, "{}"), // u2: purchase without view
+      (5L, ts(2), 2L, "purchase", 1.0, "{}"),
+      (6L, ts(1), 3L, "view", 1.0, "{}"), // u3: view BEFORE signup
+      (7L, ts(2), 3L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = SparkEntry.queries("ev25_funnel_steps")(spark, dir).head
+    assert(r.getAs[Long]("n_signup") === 3L)
+    assert(r.getAs[Long]("n_viewed") === 1L) // only u1's view counts
+    assert(r.getAs[Long]("n_purchased") === 1L)
+    assert(r.getAs[Double]("view_rate") === 0.3333)
+  }
+
   test("mm05 reassembly round-trips every ascii doc") {
     val rows = SparkEntry.queries("mm05_reassemble")(spark, sf).collect()
     assert(rows.nonEmpty)

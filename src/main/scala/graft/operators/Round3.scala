@@ -181,9 +181,13 @@ object Round3 {
     // Recency/frequency/monetary quintile scoring — the classic
     // customer-segmentation (and data-freshness-tiering) shape. The
     // fact table folds to one row per customer FIRST; the reference
-    // date and the ntile windows run over that small frame (global
-    // windows over ~|customers| rows, never the fact table). Ties
-    // break on custkey so both engines bucket identically.
+    // date and the ntile windows run over that reduced frame, never
+    // the fact table. The exact global ntile is a single-partition
+    // sort of |customers| rows — fine into the tens of millions; at
+    // billion-key scale swap it for approx_percentile cut points
+    // (one agg + broadcast bucket assignment), trading exact
+    // remainder distribution for full parallelism. Ties break on
+    // custkey so both engines bucket identically.
     "q33_rfm_segments" -> { (s, d) =>
       val perCust = Tables.orders(s, d)
         .groupBy(col("o_custkey"))

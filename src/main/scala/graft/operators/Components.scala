@@ -33,12 +33,17 @@ object Components {
 
   /** The RESULT frame of each invocation is backed by a final
     * checkpoint that must outlive the call; it is released on the
-    * NEXT invocation (the Dedup.barrier pattern), bounding a
-    * long-lived session to one retained RDD per algorithm instead of
-    * one per call. Consequence: materialize (collect/write/aggregate)
-    * a result before computing another set of components — a stale
-    * result frame read after a newer call throws on the missing
-    * checkpoint blocks rather than silently recomputing.
+    * NEXT invocation of EITHER algorithm (one queue shared by
+    * propagation and star), bounding a long-lived session to one
+    * retained RDD total instead of one per call. Consequences:
+    * materialize (collect/write/aggregate) a result before computing
+    * another set of components with either variant — a stale result
+    * frame read after a newer call throws on the missing checkpoint
+    * blocks rather than silently recomputing (checkpoint release is
+    * destructive, unlike Dedup.barrier's recompute-safe unpersist).
+    * Like Dedup.barrier, this assumes calls are sequential on the
+    * session; concurrent invocations could release a result another
+    * thread has not yet consumed.
     */
   private val liveResults =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

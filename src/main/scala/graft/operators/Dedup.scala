@@ -77,8 +77,19 @@ object Dedup {
     agged.select(col("doc_id"), simhash.as("simhash"))
   }
 
+  /** Exact Jaccard between two hashed-shingle arrays, oracle-parity
+    * truncated. ONE definition feeds dd02 and dd12's estimator
+    * comparison — drift here would silently invalidate dd12's
+    * reported error while both oracles keep passing.
+    */
+  private[operators] def exactJaccard(a: Column, b: Column): Column = {
+    val common = size(array_intersect(a, b))
+    graft.functions.Det.trunc4(
+      common.cast("double") / (size(a) + size(b) - common))
+  }
+
   /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[operators] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
@@ -126,10 +137,7 @@ object Dedup {
       val b = ds.select(col("bucket"), col("doc_id").as("doc_b"), col("shs").as("sh_b"))
       a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard", graft.functions.Det.trunc4(
-          col("n_common").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))))
+        .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))

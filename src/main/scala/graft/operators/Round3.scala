@@ -384,10 +384,11 @@ object Round3 {
     // measured, not guessed. One persisted signature table, one
     // bucket self-join.
     "dd12_minhash_estimate" -> { (s, d) =>
-      val base = Dedup.barrier(Tables.documents(s, d)
-        .withColumn("toks", toks(col("text")))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), Dedup.shingleHashes(col("toks")).as("shs"))
+      // shingle pipeline and exact-Jaccard arithmetic SHARED with
+      // dd02 (Dedup.docShingles / Dedup.exactJaccard) — the whole
+      // point is comparing the estimator against dd02's exact value,
+      // so they must not drift apart
+      val base = Dedup.barrier(Dedup.docShingles(s, d)
         .withColumn("sig", Dedup.minhashSig(col("shs")))
         .withColumn("bucket", array_min(col("shs"))))
       val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
@@ -396,10 +397,7 @@ object Round3 {
         col("shs").as("sh_b"), col("sig").as("sig_b"))
       a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .withColumn("jaccard", Det.trunc4(
-          col("n_common").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))))
+        .withColumn("jaccard", Dedup.exactJaccard(col("sh_a"), col("sh_b")))
         .withColumn("mh_est", Det.trunc4(
           size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
             h => h)).cast("double") / Dedup.MinhashK))

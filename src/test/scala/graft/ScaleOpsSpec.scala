@@ -6,6 +6,47 @@ import graft.operators.{Skew, TopK}
 
 class ScaleOpsSpec extends SparkSpec {
 
+  test("runtime bloom filter injects on a selective shuffle join when enabled") {
+    // the engine-level scale feature for selective fact-fact joins:
+    // Catalyst injects a bloom filter built from the filtered side
+    // into the probe side's scan, cutting shuffle volume. Thresholds
+    // are sized for clusters, so force-enable for the tiny test data;
+    // results must be identical either way.
+    val conf = spark.conf
+    val prevEnabled = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    val prevThresh = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // bloom filters target SHUFFLE joins (a broadcast join already
+      // prunes at the probe); tiny test dims would broadcast, so
+      // force the shuffle path the feature exists for
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val selective = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val joined = Tables.lineitem(spark, sf)
+        .join(selective, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no bloom filter injected:\n$plan")
+      // and the filter is transparent: same result with it disabled
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plain = Tables.lineitem(spark, sf)
+        .join(selective, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      assert(joined.collect().toSet === plain.collect().toSet)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        prevThresh)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("TopK aggregator matches the window-rank formulation per group") {
     val o = Tables.orders(spark, sf)
     val viaAgg = o.groupBy(col("o_custkey"))

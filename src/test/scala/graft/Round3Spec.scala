@@ -73,6 +73,27 @@ class Round3Spec extends SparkSpec {
     assert(got(2L) === Seq(32L, 9L)) // one over → budget chunk + tail
   }
 
+  test("pk02 chunk invariants hold across random doc lengths") {
+    val rnd = new scala.util.Random(41)
+    val lens = Seq(1, 2, 31, 32, 33, 55, 56, 57) ++ Seq.fill(12)(1 + rnd.nextInt(199))
+    val dir = docsDir(lens.zipWithIndex.map { case (n, i) =>
+      i.toLong -> (1 to n).map(j => s"t$j").mkString(" ")
+    })
+    val byDoc = SparkEntry.queries("pk02_chunk_overlap")(spark, dir)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    lens.zipWithIndex.foreach { case (n, i) =>
+      val chunks = byDoc(i.toLong)
+      // chunk ids are dense from 0; all chunks within budget
+      assert(chunks.forall(c => c >= 1 && c <= 32), s"n=$n: $chunks")
+      // non-tail chunks are exactly the budget
+      assert(chunks.dropRight(1).forall(_ == 32), s"n=$n: $chunks")
+      // coverage: strides of 24 + final chunk length reach exactly n
+      // (equivalently: 8 tokens of overlap at every seam)
+      assert((chunks.length - 1) * 24 + chunks.last === n, s"n=$n: $chunks")
+    }
+  }
+
   test("q30 cohort week-0 activity covers every cohort member") {
     val df = SparkEntry.queries("q30_cohort_retention")(spark, sf)
     val week0 = df.filter(col("weeks_since") === 0)

@@ -97,6 +97,76 @@ object Dedup {
 
   val SimhashBits = 24
 
+  /** Embedding near-dup banding geometry: 16 bands × 4 sign bits cover
+    * all 64 dims once. Candidates = pairs sharing ≥1 band within their
+    * label — the MinHash-banding OR-construction applied to sign-LSH,
+    * so candidate generation is a (label, band, band_val) equi-join
+    * whose buckets are 2^4 sub-splits of each label per band, never an
+    * all-pairs join within label. Recall at the verify threshold is a
+    * measured dial, not an assumption: dd13_lsh_recall gates the
+    * banded candidates against the exact all-pairs ground truth.
+    */
+  val EmbBands = 16
+  val EmbBandBits = 4
+  val EmbThreshold = 0.2
+
+  /** Per-band sign values: band j packs the sign bits of dims
+    * [j·EmbBandBits, (j+1)·EmbBandBits). Literal indices keep the whole
+    * projection in one codegen stage (the minhashSigCols lesson).
+    */
+  def signBandCols(emb: Column): Seq[Column] =
+    (0 until EmbBands).map { j =>
+      (0 until EmbBandBits).map { i =>
+        when(element_at(emb, j * EmbBandBits + i + 1) > 0.0,
+          lit((1L << i))).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+
+  /** embeddings → (vec_id, label, emb: array<double>, norm). */
+  private[operators] def embBase(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", Similarity.l2norm(col("emb")))
+
+  /** Banded sign-LSH candidate pairs: distinct (label, vec_a, vec_b)
+    * sharing ≥1 band. The banded table is slim (ids + band key only —
+    * embeddings rejoin AFTER the pair set is known, so the band
+    * shuffle never carries vectors) and persisted across the
+    * self-join.
+    */
+  private[operators] def embCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = barrier(embBase(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(array(signBandCols(col("emb")): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val"))
+    val a = banded.select(col("label"), col("band"), col("band_val"),
+      col("vec_id").as("vec_a"))
+    val b = banded.select(col("label"), col("band"), col("band_val"),
+      col("vec_id").as("vec_b"))
+    a.join(b, Seq("label", "band", "band_val"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /** Exact-cosine verify over a candidate pair frame: rejoins the
+    * embeddings per side (co-partitioned on vec id) and scores each
+    * pair. Shared by dd05/dd11/dd13 so the arithmetic cannot drift.
+    */
+  private[operators] def scoreCandidates(
+      s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val e = embBase(s, d)
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+        col("norm").as("norm_a")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+        col("norm").as("norm_b")), Seq("vec_b"))
+      .withColumn("cos_sim", graft.functions.Det.trunc4(
+        Similarity.dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b"))))
+  }
+
   /** Materialization barrier for signature tables that are self-joined
     * (without it each join side re-runs the whole md5-shingle pipeline).
     * Caches from the PREVIOUS invocation are released here so repeated
@@ -169,18 +239,14 @@ object Dedup {
       simhashes(s, d).orderBy(col("doc_id"))
     },
 
-    // embedding-cosine near-dup within label buckets
+    // embedding-cosine near-dup: banded sign-LSH candidates within
+    // label (equi-join on (label, band, band_val) — NEVER all pairs
+    // within label), then exact-cosine verify of the shortlist. The
+    // same candidates→verify construction the text side uses (dd03);
+    // dd13 gates its recall against the all-pairs ground truth.
     "dd05_embed_cosine" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("emb"))
-        .withColumn("norm", Similarity.l2norm(col("emb")))
-      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("emb").as("emb_a"), col("norm").as("norm_a"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("emb").as("emb_b"), col("norm").as("norm_b"))
-      a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("dot", Similarity.dot(col("emb_a"), col("emb_b")))
-        .withColumn("cos_sim", graft.functions.Det.trunc4(col("dot") / (col("norm_a") * col("norm_b"))))
-        .filter(col("cos_sim") >= 0.5)
+      scoreCandidates(s, d, embCandidates(s, d))
+        .filter(col("cos_sim") >= EmbThreshold)
         .select(col("label"), col("vec_a"), col("vec_b"), col("cos_sim"))
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
     }
@@ -194,6 +260,35 @@ object Dedup {
     s"list_distinct(list_transform($duckShStr, x -> ${Hashing.duckHash64("x")}))"
   private val duckNorm =
     "sqrt(list_sum(list_transform(emb, x -> x * x)))"
+
+  /** Shared DuckDB CTE bodies for the banded embedding construction —
+    * dd05/dd11/dd13 oracles compose these so the SQL twin of
+    * [[embCandidates]]/[[scoreCandidates]] has one definition.
+    */
+  private[operators] val duckEmbE: String =
+    s"""SELECT vec_id, label, emb, $duckNorm AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+       |        FROM embeddings)""".stripMargin
+
+  private[operators] val duckEmbBands: String =
+    (0 until EmbBands).map { j =>
+      val v = (0 until EmbBandBits).map(i =>
+        s"CASE WHEN emb[${j * EmbBandBits + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"SELECT vec_id, label, $j AS band, CAST($v AS BIGINT) AS band_val FROM e"
+    }.mkString("\n  UNION ALL\n  ")
+
+  private[operators] val duckEmbCand: String =
+    """SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b
+      |    ON a.label = b.label AND a.band = b.band
+      |   AND a.band_val = b.band_val AND a.vec_id < b.vec_id""".stripMargin
+
+  /** Exact cosine between candidate sides ea/eb (scoreCandidates' SQL
+    * twin, trunc4'd like the Spark side). */
+  private[operators] val duckEmbCos: String =
+    "floor((list_sum(list_transform(range(len(ea.emb)), i -> ea.emb[i+1] * eb.emb[i+1]))" +
+      " / (ea.norm * eb.norm)) * 10000) / 10000"
 
   def oracles: Map[String, String] = Map(
     "dd01_exact" ->
@@ -258,14 +353,15 @@ object Dedup {
 
     "dd05_embed_cosine" ->
       s"""WITH e AS (
-         |  SELECT vec_id, label, emb, $duckNorm AS norm
-         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings))
-         |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  floor((list_sum(list_transform(range(len(a.emb)),
-         |          i -> a.emb[i+1] * b.emb[i+1])) / (a.norm * b.norm)) * 10000) / 10000 AS cos_sim
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE floor((list_sum(list_transform(range(len(a.emb)),
-         |          i -> a.emb[i+1] * b.emb[i+1])) / (a.norm * b.norm)) * 10000) / 10000 >= 0.5
-         |ORDER BY a.label, vec_a, vec_b""".stripMargin
+         |  $duckEmbE),
+         |bands AS (
+         |  $duckEmbBands),
+         |cand AS (
+         |  $duckEmbCand)
+         |SELECT c.label, c.vec_a, c.vec_b, $duckEmbCos AS cos_sim
+         |FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
+         |            JOIN e eb ON c.vec_b = eb.vec_id
+         |WHERE $duckEmbCos >= $EmbThreshold
+         |ORDER BY c.label, vec_a, vec_b""".stripMargin
   )
 }

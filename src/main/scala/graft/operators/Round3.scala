@@ -347,28 +347,17 @@ object Round3 {
     },
 
     // --- dd11: semantic dedup clusters (star-CC under the gate) ------
-    // Embedding-cosine candidate pairs (dd05's bucket construction at
-    // a clustering threshold) → connected components via the
-    // LARGE/SMALL-STAR algorithm — this puts connectedComponentsStar
-    // under the DuckDB oracle alongside dd06's propagation variant.
-    // Pair generation stays a label-bucket equi-join; the cluster
+    // Embedding near-dup edges (dd05's banded sign-LSH candidates +
+    // exact-cosine verify — see Dedup.embCandidates) → connected
+    // components via the LARGE/SMALL-STAR algorithm — this puts
+    // connectedComponentsStar under the DuckDB oracle alongside dd06's
+    // propagation variant. Pair generation is a (label, band,
+    // band_val) equi-join, never all pairs within label; the cluster
     // census is the semantic-dedup group map a curation pipeline
     // feeds to keeper selection.
     "dd11_semantic_clusters" -> { (s, d) =>
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("emb"))
-        .withColumn("norm", Similarity.l2norm(col("emb")))
-      val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("emb").as("emb_a"), col("norm").as("norm_a"))
-      val b = e.select(col("label"), col("vec_id").as("vec_b"),
-        col("emb").as("emb_b"), col("norm").as("norm_b"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", Det.trunc4(
-          Similarity.dot(col("emb_a"), col("emb_b")) /
-            (col("norm_a") * col("norm_b"))))
-        .filter(col("cos_sim") >= 0.2)
+      val pairs = Dedup.scoreCandidates(s, d, Dedup.embCandidates(s, d))
+        .filter(col("cos_sim") >= Dedup.EmbThreshold)
         .select(col("vec_a"), col("vec_b"))
       Components.connectedComponentsStar(pairs, "vec_a", "vec_b")
         .groupBy(col("comp").as("cluster_id"))
@@ -681,18 +670,17 @@ object Round3 {
     },
 
     "dd11_semantic_clusters" -> {
-      val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
-      val duckCos = Det.duckTrunc(
-        "list_sum(list_transform(range(len(a.emb)), i -> a.emb[i+1] * b.emb[i+1]))" +
-          " / (a.norm * b.norm)", 4)
-      s"""WITH RECURSIVE n AS (
-         |  SELECT vec_id, label, emb, $duckNorm AS norm
-         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-         |        FROM embeddings)),
+      s"""WITH RECURSIVE e AS (
+         |  ${Dedup.duckEmbE}),
+         |bands AS (
+         |  ${Dedup.duckEmbBands}),
+         |cand AS (
+         |  ${Dedup.duckEmbCand}),
          |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE $duckCos >= 0.2
+         |  SELECT c.vec_a, c.vec_b
+         |  FROM cand c JOIN e ea ON c.vec_a = ea.vec_id
+         |              JOIN e eb ON c.vec_b = eb.vec_id
+         |  WHERE ${Dedup.duckEmbCos} >= ${Dedup.EmbThreshold}
          |), edges AS (
          |  SELECT vec_a AS src, vec_b AS dst FROM pairs
          |  UNION

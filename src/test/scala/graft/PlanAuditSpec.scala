@@ -51,6 +51,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dd05 candidate join is keyed on the LSH band, not label alone") {
+    // the embedding-dedup scale posture: candidates come from the
+    // (label, band, band_val) equi-join — a plan keyed on label only
+    // would be the within-label all-pairs quadratic
+    val s = planString("dd05_embed_cosine")
+    assert(s.contains("band_val"), s)
+  }
+
   test("similarity family broadcasts the query/centroid side") {
     Seq("ss01_topk_cosine", "ss02_ann_signlsh", "ss05_knn_join").foreach { q =>
       val s = planString(q)
@@ -88,7 +96,10 @@ class PlanAuditSpec extends SparkSpec {
       // both sides are aggregate outputs, thousands of rows at any SF
       "ev24_gap_fill",
       // ss08 broadcasts the single query row like ss01/ss02
-      "ss08_recall_eval")
+      "ss08_recall_eval",
+      // dd13 crosses two 1-row count aggregates (recall × candidate
+      // census); its truth arm is the intentionally-quadratic eval
+      "dd13_lsh_recall")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -245,7 +245,8 @@ class Round3Spec extends SparkSpec {
   }
 
   test("dd11 semantic clusters equal driver-side union-find on the pair graph") {
-    // rebuild the same candidate pairs (label bucket, cos >= 0.2)
+    // rebuild the same candidate pairs (banded sign-LSH within label,
+    // exact cos >= 0.2 verify — Dedup.embCandidates' construction)
     // driver-side and union-find them — the star-CC census must match
     val vecs = graft.core.Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>"))
@@ -255,9 +256,17 @@ class Round3Spec extends SparkSpec {
       val t = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
       math.floor(t * 10000) / 10000
     }
+    def bands(v: Array[Double]): Seq[Long] =
+      (0 until operators.Dedup.EmbBands).map { j =>
+        (0 until operators.Dedup.EmbBandBits).map { i =>
+          if (v(j * operators.Dedup.EmbBandBits + i) > 0.0) 1L << i else 0L
+        }.sum
+      }
     val pairs = for {
       a <- vecs; b <- vecs
-      if a._2 == b._2 && a._1 < b._1 && cos(a._3, b._3) >= 0.2
+      if a._2 == b._2 && a._1 < b._1 &&
+        bands(a._3).zip(bands(b._3)).exists { case (x, y) => x == y } &&
+        cos(a._3, b._3) >= operators.Dedup.EmbThreshold
     } yield (a._1, b._1)
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {

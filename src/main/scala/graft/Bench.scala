@@ -33,7 +33,7 @@ object Bench {
         .select(col("embedding").cast("array<double>").as("e"))
       em.select(graft.functions.DotExpr(col("e"), col("e")).as("d")).agg(sum(col("d"))).count()
     }
-    // best-of-2 per query: machine-noise variance between single runs
+    // best-of-3 per query: machine-noise variance between single runs
     // measured up to 1.6x; the min is the reproducible cost.
     // Drive with a noop-format write, not count(): count() lets
     // Catalyst prune the final project, so expression-heavy select
@@ -46,7 +46,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -59,10 +59,27 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Per-query detail lines (full names) for humans reading the log.
+    // The driver's artifact keeps only the LAST ~2000 chars of output,
+    // so the machine-readable summary must be ONE compact final line:
+    // short ids (the SURVEY operator prefix before '_') + millisecond-
+    // precision seconds keep ~100 queries near 1.5 KB. Round 3's
+    // full-name full-precision line (~4.5 KB) was truncated mid-JSON
+    // and lost 35 queries from the artifact.
+    def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
+    results.foreach { case (k, v) =>
+      println(s"""{"query":"$k","sec":${ms3(v)}}""")
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    if (line.length > 1900)
+      System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
+        "exceeds the driver's 2000-char tail capture — shorten it")
+    println(line)
     spark.stop()
   }
 }

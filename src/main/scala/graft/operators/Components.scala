@@ -54,6 +54,17 @@ object Components {
     df
   }
 
+  /** Reduce-and-detach: eagerly materializes a (small) aggregate of a
+    * CC result and swaps it into the live-result slot, releasing the
+    * node-level checkpoint immediately. Callers that fold the
+    * component map down to a census (dd10/dd11) return a
+    * self-contained frame instead of one tethered to the big CC
+    * checkpoint — so building several CC-backed queries before
+    * collecting the first is safe, and the retained RDD shrinks from
+    * node-level to census-level between calls.
+    */
+  def detach(census: DataFrame): DataFrame = trackResult(census.localCheckpoint())
+
   /** @param pairs  undirected edges, two long columns
     * @return (node, comp) — comp = min node id reachable. The frame is
     *         backed by the final round's local checkpoint; all
@@ -128,7 +139,8 @@ object Components {
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .distinct().localCheckpoint()
-    var converged = edges.isEmpty
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
     var rounds = 0
     while (!converged && rounds <= maxRounds) {
       if (rounds == maxRounds)
@@ -158,8 +170,13 @@ object Components {
       val next = hangSelf.unionByName(hangNbrs)
         .filter(col("u") =!= col("v"))
         .distinct().localCheckpoint()
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // fixpoint test: carry the edge count across rounds (one count
+      // job per round, not two) and pay the exceptAll scan only on
+      // the count-match path — a stable round maps E to E, so equal
+      // counts are necessary and the set-diff confirms sufficiency
+      val nextCount = next.count()
+      converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
+      edgeCount = nextCount
       release(afterLarge)
       release(edges)
       edges = next

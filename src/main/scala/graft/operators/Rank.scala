@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable EXACT global ranking/ntile — the billion-key replacement
+  * for `ntile(n).over(Window.orderBy(...))`, which Spark plans as a
+  * single-partition sort of the whole frame.
+  *
+  * Construction: approx_percentile cut points split the key domain
+  * into disjoint ORDERED range buckets (the approximation only skews
+  * bucket sizes, never bucket order, so exactness is unaffected);
+  * each bucket ranks locally under one hash shuffle; per-bucket row
+  * counts (a cuts-sized aggregate) prefix-sum into offsets that lift
+  * local ranks to exact global ranks; the ANSI NTILE remainder
+  * arithmetic then reproduces `ntile()` bit-for-bit. Total cost per
+  * scored dimension: two light aggregates (bounds, counts) + ONE
+  * hash shuffle of the frame — nothing global, nothing
+  * single-partition except the cuts-sized offsets window.
+  *
+  * Keys must be non-null (nulls would pool in bucket 0 with
+  * nulls-first local order, which matches Spark's default but not
+  * every engine's).
+  */
+object Rank {
+
+  /** Appends column `out` = exact ntile(`buckets`) of `df` ordered by
+    * (`key`, `tiebreak`…). `cuts` sizes the parallelism: cuts+1 range
+    * buckets rank concurrently (set ≈ cluster parallelism; any value
+    * yields identical results).
+    */
+  def ntileExact(df: DataFrame, buckets: Int, out: String,
+      key: Column, tiebreak: Seq[Column], cuts: Int = 63): DataFrame = {
+    val kc = s"_k_$out"; val bc = s"_b_$out"
+    val withK = df.withColumn(kc, key)
+    val pcts = typedLit((1 to cuts).map(_.toDouble / (cuts + 1)))
+    val bounds = withK.agg(
+      approx_percentile(col(kc), pcts, lit(10000)).as("_bnds"))
+    // range bucket = #cut points strictly below the key — monotone in
+    // the key, so bucket order IS global order
+    val bucketed = withK.crossJoin(broadcast(bounds))
+      .withColumn(bc, aggregate(col("_bnds"), lit(0),
+        (acc, b) => acc + when(b < col(kc), 1).otherwise(0)))
+      .drop("_bnds")
+    val wOff = Window.orderBy(col(bc)) // cuts-sized frame, not the data
+    val offs = bucketed.groupBy(col(bc)).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(wOff.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(Window.partitionBy()))
+      .select(col(bc), col("_off"), col("_n"))
+    val wLocal = Window.partitionBy(col(bc))
+      .orderBy(col(kc) +: tiebreak: _*)
+    val ranked = bucketed.join(broadcast(offs), Seq(bc))
+      .withColumn("_gr", col("_off") + row_number().over(wLocal))
+    // ANSI NTILE: q=n/b, r=n%b, first r buckets take q+1 rows.
+    // Integer division via floor — exact below 2^53 rows, and Column./
+    // is double division.
+    def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+    val q = idiv(col("_n"), lit(buckets)); val r = col("_n") % buckets
+    val cut = r * (q + 1)
+    val tile = when(col("_gr") <= cut, idiv(col("_gr") - 1, q + 1) + 1)
+      .otherwise(r + idiv(col("_gr") - cut - 1, q) + 1)
+    ranked
+      .withColumn(out, tile.cast("int"))
+      .drop(kc, bc, "_off", "_n", "_gr")
+  }
+}

@@ -79,13 +79,13 @@ object Round3 {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy(col("comp"))
         .orderBy(col("n_chars").desc, col("node"))
-      cc.join(docs, cc("node") === docs("doc_id"))
+      Components.detach(cc.join(docs, cc("node") === docs("doc_id"))
         .withColumn("rk", row_number().over(w))
         .groupBy(col("comp").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           max(when(col("rk") === 1, col("node"))).as("keeper"),
           max(when(col("rk") === 1, col("n_chars"))).as("keeper_chars"))
-        .orderBy(col("cluster_id"))
+        .orderBy(col("cluster_id")))
     },
 
     // --- tx12: unigram-LM frequency score (perplexity proxy) ---------
@@ -181,28 +181,27 @@ object Round3 {
     // Recency/frequency/monetary quintile scoring — the classic
     // customer-segmentation (and data-freshness-tiering) shape. The
     // fact table folds to one row per customer FIRST; the reference
-    // date and the ntile windows run over that reduced frame, never
-    // the fact table. The exact global ntile is a single-partition
-    // sort of |customers| rows — fine into the tens of millions; at
-    // billion-key scale swap it for approx_percentile cut points
-    // (one agg + broadcast bucket assignment), trading exact
-    // remainder distribution for full parallelism. Ties break on
-    // custkey so both engines bucket identically.
+    // date comes from an aggregate (broadcast 1-row, never a global
+    // window), and each quintile is Rank.ntileExact — approx_percentile
+    // range buckets + local rank + offset lift, reproducing the
+    // oracle's exact NTILE with no single-partition sort at any size.
+    // Ties break on custkey so both engines bucket identically.
     "q33_rfm_segments" -> { (s, d) =>
-      val perCust = Tables.orders(s, d)
+      val perCust = Dedup.barrier(Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_order"),
           count(lit(1)).as("frequency"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary"))
-      val w = Window.partitionBy()
-      def tile(c: Column, tb: Column) =
-        ntile(5).over(Window.orderBy(c, tb))
-      perCust
-        .withColumn("r_days",
-          datediff(max(col("last_order")).over(w), col("last_order")))
-        .withColumn("r_score", tile(col("r_days"), col("o_custkey")))
-        .withColumn("f_score", tile(col("frequency"), col("o_custkey")))
-        .withColumn("m_score", tile(col("monetary"), col("o_custkey")))
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary")))
+      val tip = perCust.agg(max(col("last_order")).as("tip_date"))
+      val base = perCust.crossJoin(broadcast(tip))
+        .withColumn("r_days", datediff(col("tip_date"), col("last_order")))
+      val scored = Seq(
+        ("r_score", col("r_days")), ("f_score", col("frequency")),
+        ("m_score", col("monetary")))
+        .foldLeft(base) { case (df, (out, key)) =>
+          Rank.ntileExact(df, 5, out, key, Seq(col("o_custkey")))
+        }
+      scored
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))
@@ -359,10 +358,11 @@ object Round3 {
       val pairs = Dedup.scoreCandidates(s, d, Dedup.embCandidates(s, d))
         .filter(col("cos_sim") >= Dedup.EmbThreshold)
         .select(col("vec_a"), col("vec_b"))
-      Components.connectedComponentsStar(pairs, "vec_a", "vec_b")
-        .groupBy(col("comp").as("cluster_id"))
-        .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
-        .orderBy(col("cluster_id"))
+      Components.detach(
+        Components.connectedComponentsStar(pairs, "vec_a", "vec_b")
+          .groupBy(col("comp").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"), max(col("node")).as("max_member"))
+          .orderBy(col("cluster_id")))
     },
 
     // --- dd12: MinHash estimator-quality evaluation ------------------

@@ -66,6 +66,45 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q33 plans no single-partition ntile window over the customer frame") {
+    val s = planString("q33_rfm_segments")
+    // "ntile(5)" is the window function; a bare "ntile(" would also
+    // match inside "approx_percentile("
+    assert(!s.contains("ntile(5)"), s.linesIterator.take(20).mkString("\n"))
+    assert(s.contains("approx_percentile"), s.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("q04 gets a runtime bloom filter on its shuffled fact side at cluster posture") {
+    // At cluster scale q04's semi join shuffles (lineitem is no
+    // broadcast candidate) and the selective l_returnflag filter makes
+    // the lineitem side a bloom creation side — Catalyst injects
+    // might_contain into the orders scan, cutting the shuffle volume.
+    // The thresholds are cluster-sized, so emulate the posture here:
+    // broadcast off + zeroed application-side threshold. Results must
+    // be invariant.
+    val conf = spark.conf
+    val prevEnabled = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    val prevThresh = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "10GB")
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    val base = SparkEntry.queries("q04_order_priority")(spark, sf).collect().toSeq
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q04_order_priority")(spark, sf)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter on q04's fact side:\n$optimized")
+      assert(df.collect().toSeq === base)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        prevThresh)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("ev15 runs the custom AsOfJoin physical operator") {
     assert(planString("ev15_asof_enrich").contains("AsOfJoin"))
   }
@@ -99,7 +138,9 @@ class PlanAuditSpec extends SparkSpec {
       "ss08_recall_eval",
       // dd13 crosses two 1-row count aggregates (recall × candidate
       // census); its truth arm is the intentionally-quadratic eval
-      "dd13_lsh_recall")
+      "dd13_lsh_recall",
+      // q33 broadcasts the 1-row tip-date aggregate
+      "q33_rfm_segments")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -33,4 +33,31 @@ object Hashing {
 
   def duckHash64Seeded(expr: String, seed: Int): String =
     duckHash64(s"concat_ws('|', '$seed', $expr)")
+
+  /** Karp-Rabin base/modulus for fixed-width gram hashing. M is prime
+    * and < 2^28, B < 2^8, so every Horner step `acc*B + cp` stays
+    * under 2^36 — overflow-free in BIGINT on BOTH engines (DuckDB
+    * raises on signed overflow, so the headroom is load-bearing).
+    */
+  val KrB = 131L
+  val KrM = 268435399L
+
+  /** Karp-Rabin hash of the 8-char gram at 1-based offset `i + 1` of
+    * the document whose codepoints are precomputed in array column
+    * `cps`. Pure modular arithmetic — ~8 codegen'd multiply-adds per
+    * gram where the md5 path pays a digest + hex parse per gram; this
+    * is the winnowing hot loop at corpus scale.
+    */
+  def kr8(cps: Column, i: Column): Column =
+    (0 until 8).foldLeft(lit(0L): Column) { (acc, k) =>
+      (acc * lit(KrB) + element_at(cps, i + lit(k + 1))) % lit(KrM)
+    }
+
+  /** DuckDB fragment equivalent of [[kr8]]: `cps` names a BIGINT list
+    * column (1-based), `i` the 0-based gram start expression.
+    */
+  def duckKr8(cps: String, i: String): String =
+    (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"(($acc * $KrB + $cps[$i + ${k + 1}]) % $KrM)"
+    }
 }

@@ -118,13 +118,31 @@ object TextAnalysis {
         .orderBy(col("tok_a"), col("tok_b"))
     },
 
-    // ordered array aggregation: sorted distinct vocab per language
+    // per-language top-N vocabulary by frequency. Two-level reduction:
+    // the corpus folds to (lang, tok) frequencies first (map-side
+    // partial combine — the only pass over the fact table), then ONE
+    // window over the vocab-sized frame ranks and counts. The output
+    // row is bounded (50 tokens), and no stage ever materializes a
+    // whole language's vocabulary in one row — the unbounded
+    // collect_set this replaced was the one OOM-shaped plan left in
+    // the text family.
     "tx06_collect_tokens" -> { (s, d) =>
-      Tables.documents(s, d)
+      import org.apache.spark.sql.expressions.Window
+      val tokFreq = Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy(col("lang"))
+      tokFreq
+        .withColumn("rk", row_number().over(w.orderBy(col("freq").desc, col("tok"))))
+        .withColumn("vsize", count(lit(1)).over(w))
+        .filter(col("rk") <= 50)
         .groupBy(col("lang"))
-        .agg(concat_ws(" ", sort_array(collect_set(col("tok")))).as("vocab"),
-          countDistinct(col("tok")).as("vocab_size"))
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("rk"), col("tok")))),
+            s => s.getField("tok"))).as("vocab"),
+          max(col("vsize")).as("vocab_size"))
         .orderBy(col("lang"))
     },
 
@@ -143,14 +161,22 @@ object TextAnalysis {
         .orderBy(col("source"))
     },
 
-    // winnowing fingerprints: rolling char-8-gram hashes, min per
-    // 4-gram window, distinct mins = the document's fingerprint set
+    // winnowing fingerprints: Karp-Rabin char-8-gram hashes, min per
+    // 4-gram window, distinct mins = the document's fingerprint set.
+    // The gram hash is pure modular arithmetic over a precomputed
+    // codepoint array (Hashing.kr8) — the md5-per-gram variant this
+    // replaced spent ~all its time in the digest; at corpus scale the
+    // stage stays narrow (no shuffle) and fully codegen'd either way,
+    // so the per-row constant IS the cost.
     "tx08_winnowing" -> { (s, d) =>
       Tables.documents(s, d)
         .filter(length(col("text")) >= 11) // 8-gram + 4-window needs >= 11 chars
+        .withColumn("cps", transform(
+          sequence(lit(1), length(col("text"))),
+          j => ascii(col("text").substr(j, lit(1))).cast("long")))
         .withColumn("gh", transform(
           sequence(lit(0), length(col("text")) - 8),
-          i => Hashing.hash64(col("text").substr(i + 1, lit(8)))))
+          i => Hashing.kr8(col("cps"), i)))
         .withColumn("mins", array_distinct(transform(
           sequence(lit(0), size(col("gh")) - 4),
           w => array_min(slice(col("gh"), w + 1, lit(4))))))
@@ -230,15 +256,27 @@ object TextAnalysis {
          |  SELECT doc_id, list_distinct(list_transform(range(len(gh) - 3),
          |    w -> list_min(gh[w+1:w+4]))) AS mins
          |  FROM (
-         |    SELECT doc_id, list_transform(range(length(text) - 7),
-         |      i -> ${Hashing.duckHash64("substr(text, i + 1, 8)")}) AS gh
-         |    FROM documents WHERE length(text) >= 11))
+         |    SELECT doc_id, list_transform(range(len(cps) - 7),
+         |      i -> ${Hashing.duckKr8("cps", "i")}) AS gh
+         |    FROM (
+         |      SELECT doc_id, list_transform(range(length(text)),
+         |        j -> CAST(ascii(substr(text, j + 1, 1)) AS BIGINT)) AS cps
+         |      FROM documents WHERE length(text) >= 11)))
          |ORDER BY doc_id""".stripMargin,
 
     "tx06_collect_tokens" ->
-      s"""SELECT lang, array_to_string(list_sort(list(DISTINCT tok)), ' ') AS vocab,
-         | COUNT(DISTINCT tok) AS vocab_size
-         |FROM (SELECT lang, unnest($duckToks) AS tok FROM documents)
+      s"""WITH tf AS (
+         |  SELECT lang, tok, COUNT(*) AS freq
+         |  FROM (SELECT lang, unnest($duckToks) AS tok FROM documents)
+         |  GROUP BY lang, tok),
+         |rk AS (
+         |  SELECT lang, tok,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY freq DESC, tok) AS rk,
+         |    COUNT(*) OVER (PARTITION BY lang) AS vsize
+         |  FROM tf)
+         |SELECT lang, array_to_string(list(tok ORDER BY rk), ' ') AS vocab,
+         |  MAX(vsize) AS vocab_size
+         |FROM rk WHERE rk <= 50
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tx04_fingerprint" ->

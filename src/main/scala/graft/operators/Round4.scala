@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Det
+import graft.functions.{Det, Hashing}
 
 /** Round-4 coverage. dd13: the evaluation harness that keeps the
   * approximate scale path honest — the embedding-dedup counterpart of
@@ -45,6 +45,40 @@ object Round4 {
         .select(col("n_truth"), col("n_cand"), col("n_hit"),
           Det.trunc4(col("n_hit").cast("double") / col("n_truth")).as("recall"),
           Det.trunc4(col("n_hit").cast("double") / col("n_cand")).as("verify_rate"))
+    },
+
+    // --- dd14: benchmark decontamination census ----------------------
+    // The pre-training hygiene step: a train document is contaminated
+    // if it shares any 13-token gram with the held-out eval set
+    // (GPT-3-style n-gram decontamination). The eval set here is a
+    // deterministic 5% hash-sample standing in for a benchmark suite;
+    // at 100 TB the eval side is benchmark-sized (fixed, small), so
+    // its distinct gram hashes broadcast and the corpus-sized train
+    // gram stream never shuffles — drop the broadcast hint if the
+    // eval side ever grows fact-sized and the same equi-join shuffles.
+    "dd14_contamination" -> { (s, d) =>
+      val W = 13
+      val grams = Dedup.barrier(graft.core.Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= W)
+        .withColumn("is_eval",
+          Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
+        .select(col("doc_id"), col("source"), col("is_eval"),
+          explode(transform(sequence(lit(0), size(col("toks")) - W),
+            i => Hashing.hash64(concat_ws(" ", slice(col("toks"), i + 1, lit(W))))))
+            .as("g")))
+      val evalGrams = grams.filter(col("is_eval"))
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      grams.filter(!col("is_eval"))
+        .join(broadcast(evalGrams), Seq("g"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          sum(col("contaminated")).cast("long").as("n_contaminated"),
+          Det.trunc4(sum(col("contaminated")).cast("double") / count(lit(1)))
+            .as("contamination_rate"))
+        .orderBy(col("source"))
     },
 
     // --- ev26: in-flight processing gauge ----------------------------
@@ -111,6 +145,30 @@ object Round4 {
          |  ${Det.duckTrunc("CAST(n_hit AS DOUBLE) / n_truth", 4)} AS recall,
          |  ${Det.duckTrunc("CAST(n_hit AS DOUBLE) / n_cand", 4)} AS verify_rate
          |FROM t, c""".stripMargin
+    },
+
+    "dd14_contamination" -> {
+      val duckToks = """string_split_regex(trim(text), '\s+')"""
+      s"""WITH base AS (
+         |  SELECT doc_id, source, $duckToks AS toks,
+         |    (${graft.functions.Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} % 20 = 0) AS is_eval
+         |  FROM documents WHERE len($duckToks) >= 13),
+         |grams AS (
+         |  SELECT doc_id, source, is_eval,
+         |    unnest(list_transform(range(len(toks) - 12),
+         |      i -> ${graft.functions.Hashing.duckHash64("array_to_string(toks[i+1:i+13], ' ')")})) AS g
+         |  FROM base),
+         |ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
+         |perdoc AS (
+         |  SELECT t.doc_id, t.source,
+         |    MAX(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS contaminated
+         |  FROM grams t LEFT JOIN ev ON t.g = ev.g
+         |  WHERE NOT t.is_eval
+         |  GROUP BY t.doc_id, t.source)
+         |SELECT source, COUNT(*) AS n_train_docs,
+         |  CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+         |  ${Det.duckTrunc("CAST(SUM(contaminated) AS DOUBLE) / COUNT(*)", 4)} AS contamination_rate
+         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
     },
 
     "ev26_inflight_gauge" ->

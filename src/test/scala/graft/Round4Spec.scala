@@ -121,6 +121,33 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("dd14 contamination census equals a driver-side n-gram recompute") {
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split("\\s+")))
+      .filter(_._3.length >= 13)
+    def grams(toks: Array[String]): Set[Long] =
+      (0 to toks.length - 13).map(i => h64(toks.slice(i, i + 13).mkString(" "))).toSet
+    val (evalDocs, trainDocs) = docs.partition(d => h64(d._1.toString) % 20 == 0)
+    val evalGrams = evalDocs.flatMap(d => grams(d._3)).toSet
+    assert(evalDocs.nonEmpty && evalGrams.nonEmpty) // census isn't vacuous
+    val expected = trainDocs.groupBy(_._2).map { case (src, ds) =>
+      val n = ds.length.toLong
+      val c = ds.count(d => grams(d._3).exists(evalGrams)).toLong
+      src -> (n, c, math.floor(c.toDouble / n * 10000) / 10000)
+    }
+    val got = SparkEntry.queries("dd14_contamination")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_train_docs"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination_rate"))).toMap
+    assert(got === expected)
+  }
+
   test("ev26 gauge equals a driver-side sweep-line recompute") {
     val ev = graft.core.Tables.events(spark, sf)
       .select(col("event_type"), expr("unix_micros(ts)").as("s"),

@@ -81,6 +81,64 @@ object Round4 {
         .orderBy(col("source"))
     },
 
+    // --- ss09: full Lloyd iteration (assign to NEAREST centroid) -----
+    // ss04 scores vectors against their OWN label's centroid; this is
+    // the real k-means step: every vector re-assigns to the nearest of
+    // ALL K centroids (argmax cosine, ties to the lower label), then
+    // centroids update from their new members. The K centroids travel
+    // as ONE broadcast row (sorted array of structs) and the argmax is
+    // a sequential fold over that array — assignment stays narrow (no
+    // K-times row blowup, no shuffle beyond the (cluster, dim) update
+    // agg). Census: per-cluster size, migration count, and centroid
+    // drift (cos of old vs new centroid).
+    "ss09_kmeans_iterate" -> { (s, d) =>
+      val e = graft.core.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      val dims = e.select(col("label"), posexplode(col("emb")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("c"))
+      val cents = dims.groupBy(col("label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cent"))
+        .withColumn("c_norm", Similarity.l2norm(col("cent")))
+      val packed = cents.agg(array_sort(collect_list(
+        struct(col("label"), col("cent"), col("c_norm")))).as("cs"))
+      val assigned = Dedup.barrier(e
+        .withColumn("norm", Similarity.l2norm(col("emb")))
+        .crossJoin(broadcast(packed))
+        .withColumn("best", aggregate(col("cs"),
+          struct(lit(-2.0).as("cos"), lit(-1).as("lbl")),
+          (acc, cst) => {
+            val cos = Similarity.dot(col("emb"), cst.getField("cent")) /
+              (col("norm") * cst.getField("c_norm"))
+            when(cos > acc.getField("cos"),
+              struct(cos.as("cos"), cst.getField("label").as("lbl")))
+              .otherwise(acc)
+          }))
+        .select(col("vec_id"), col("label"), col("emb"),
+          col("best").getField("lbl").as("cluster")))
+      val newCents = assigned.select(col("cluster"), posexplode(col("emb")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+          count(lit(1))).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("new_cent"))
+        .withColumn("n_norm", Similarity.l2norm(col("new_cent")))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(when(col("label") =!= col("cluster"), 1L).otherwise(0L)).as("n_moved"))
+        .join(newCents, Seq("cluster"))
+        .join(broadcast(cents.select(col("label").as("cluster"),
+          col("cent"), col("c_norm"))), Seq("cluster"))
+        .select(col("cluster"), col("n_assigned"), col("n_moved"),
+          Det.trunc4(Similarity.dot(col("cent"), col("new_cent")) /
+            (col("c_norm") * col("n_norm"))).as("centroid_drift"))
+        .orderBy(col("cluster"))
+    },
+
     // --- ev26: in-flight processing gauge ----------------------------
     // The reference's `block_heights_processing` gauge (stats.rs:8-10,
     // stats.rs:85-97 start/end_process_block): how many items are
@@ -170,6 +228,46 @@ object Round4 {
          |  ${Det.duckTrunc("CAST(SUM(contaminated) AS DOUBLE) / COUNT(*)", 4)} AS contamination_rate
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "ss09_kmeans_iterate" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |dims AS (
+         |  SELECT label, i, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM (SELECT label, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS v FROM e)
+         |  GROUP BY label, i),
+         |cn AS (
+         |  SELECT label, cent, sqrt(list_sum(list_transform(cent, x -> x * x))) AS c_norm
+         |  FROM (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label)),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, e.emb, cn.label AS clbl,
+         |    list_sum(list_transform(range(len(e.emb)), i -> e.emb[i+1] * cn.cent[i+1]))
+         |      / (sqrt(list_sum(list_transform(e.emb, x -> x * x))) * cn.c_norm) AS cos
+         |  FROM e CROSS JOIN cn),
+         |best AS (
+         |  SELECT vec_id, label, emb, clbl AS cluster FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, clbl) AS rk
+         |    FROM scored)
+         |  WHERE rk = 1),
+         |nd AS (
+         |  SELECT cluster, i, CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS c
+         |  FROM (SELECT cluster, generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS v FROM best)
+         |  GROUP BY cluster, i),
+         |nc AS (
+         |  SELECT cluster, new_cent,
+         |    sqrt(list_sum(list_transform(new_cent, x -> x * x))) AS n_norm
+         |  FROM (SELECT cluster, list(c ORDER BY i) AS new_cent FROM nd GROUP BY cluster)),
+         |census AS (
+         |  SELECT cluster, COUNT(*) AS n_assigned,
+         |    CAST(SUM(CASE WHEN label != cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |  FROM best GROUP BY cluster)
+         |SELECT census.cluster, n_assigned, n_moved,
+         |  ${Det.duckTrunc(
+               "list_sum(list_transform(range(len(cn.cent)), i -> cn.cent[i+1] * nc.new_cent[i+1]))" +
+               " / (cn.c_norm * nc.n_norm)", 4)} AS centroid_drift
+         |FROM census JOIN nc ON census.cluster = nc.cluster
+         |            JOIN cn ON census.cluster = cn.label
+         |ORDER BY census.cluster""".stripMargin,
 
     "ev26_inflight_gauge" ->
       s"""WITH ev AS (

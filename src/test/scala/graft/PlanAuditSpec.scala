@@ -140,7 +140,9 @@ class PlanAuditSpec extends SparkSpec {
       // census); its truth arm is the intentionally-quadratic eval
       "dd13_lsh_recall",
       // q33 broadcasts the 1-row tip-date aggregate
-      "q33_rfm_segments")
+      "q33_rfm_segments",
+      // ss09 broadcasts the 1-row packed-centroids aggregate
+      "ss09_kmeans_iterate")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

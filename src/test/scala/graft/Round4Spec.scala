@@ -121,6 +121,40 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("ss09 Lloyd iteration matches a driver-side recompute") {
+    def rawCos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // centroids with the query's decimal(27,10)-per-value arithmetic
+    def centroid(g: Seq[Array[Double]]): Array[Double] =
+      Array.tabulate(g.head.length) { i =>
+        g.map(v => BigDecimal(v(i)).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / g.size
+      }
+    val cents = vecs.groupBy(_._2).view
+      .mapValues(g => centroid(g.map(_._3).toSeq)).toMap.toSeq.sortBy(_._1)
+    val assigned = vecs.map { case (id, lbl, emb) =>
+      val best = cents.foldLeft((-2.0, -1)) { case (acc, (cl, c)) =>
+        val s = rawCos(emb, c); if (s > acc._1) (s, cl) else acc
+      }._2
+      (id, lbl, emb, best)
+    }
+    val expected = assigned.groupBy(_._4).map { case (cl, g) =>
+      val nc = centroid(g.map(_._3).toSeq)
+      val drift = rawCos(cents.toMap.apply(cl), nc)
+      cl -> (g.size.toLong, g.count(v => v._2 != v._4).toLong,
+        math.floor(drift * 10000) / 10000)
+    }
+    val got = SparkEntry.queries("ss09_kmeans_iterate")(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_assigned"), r.getAs[Long]("n_moved"),
+          r.getAs[Double]("centroid_drift"))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._1).sum === vecs.length.toLong)
+  }
+
   test("dd14 contamination census equals a driver-side n-gram recompute") {
     def h64(s: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -81,6 +81,33 @@ object Round4 {
         .orderBy(col("source"))
     },
 
+    // --- tx13: bigram-LM fluency score -------------------------------
+    // tx12 one order up: corpus bigram frequencies (shuffle on the
+    // bigram — a fact-sized table, no broadcastable-vocab assumption),
+    // each doc scored by its mean bigram corpus-frequency. Rational
+    // arithmetic (integer sums, one final division) so the oracle
+    // hash-matches without libm. Fluent prose reuses common word
+    // PAIRS; shuffled/gibberish text scores near 1 even when its
+    // unigrams are common — the pair-level fluency signal tx12's
+    // unigram model cannot see.
+    "tx13_bigram_lm" -> { (s, d) =>
+      val bg = Dedup.barrier(graft.core.Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("bigram")))
+      val freq = bg.groupBy(col("bigram")).agg(count(lit(1)).as("bg_freq"))
+      bg.join(freq, Seq("bigram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bg_freq")).as("sum_freq"))
+        .select(col("doc_id"), col("n_bigrams"),
+          Det.trunc4(col("sum_freq").cast("double") / col("n_bigrams"))
+            .as("avg_bg_freq"))
+        .orderBy(col("doc_id"))
+    },
+
     // --- ss09: full Lloyd iteration (assign to NEAREST centroid) -----
     // ss04 scores vectors against their OWN label's centroid; this is
     // the real k-means step: every vector re-assigns to the nearest of
@@ -228,6 +255,19 @@ object Round4 {
          |  ${Det.duckTrunc("CAST(SUM(contaminated) AS DOUBLE) / COUNT(*)", 4)} AS contamination_rate
          |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
     },
+
+    "tx13_bigram_lm" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, ${Dedup.duckToks} AS toks FROM documents),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+         |  FROM base WHERE len(toks) >= 2),
+         |freq AS (SELECT bigram, COUNT(*) AS bg_freq FROM bg GROUP BY bigram)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ${Det.duckTrunc("CAST(SUM(bg_freq) AS DOUBLE) / COUNT(*)", 4)} AS avg_bg_freq
+         |FROM bg JOIN freq USING (bigram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ss09_kmeans_iterate" ->
       s"""WITH e AS (

@@ -121,6 +121,27 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("tx13 bigram-LM scores equal a driver-side recompute") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+"))
+      .filter(_._2.length >= 2)
+    val bgs = docs.map { case (id, t) =>
+      id -> t.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val freq = bgs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong)
+    val expected = bgs.map { case (id, b) =>
+      val s = b.map(freq).sum
+      id -> (b.size.toLong, math.floor(s.toDouble / b.size * 10000) / 10000)
+    }.toMap
+    val got = SparkEntry.queries("tx13_bigram_lm")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_bg_freq"))).toMap
+    assert(got === expected)
+    // fluency signal sanity: repeated-pair docs exist, score > 1 somewhere
+    assert(expected.values.exists(_._2 > 1.0))
+  }
+
   test("ss09 Lloyd iteration matches a driver-side recompute") {
     def rawCos(a: Array[Double], b: Array[Double]): Double = {
       var dot = 0.0; var i = 0

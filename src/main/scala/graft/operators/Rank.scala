@@ -29,20 +29,33 @@ object Rank {
     * (`key`, `tiebreak`…). `cuts` sizes the parallelism: cuts+1 range
     * buckets rank concurrently (set ≈ cluster parallelism; any value
     * yields identical results).
+    *
+    * The cut points are fetched to the driver ONCE (a cuts-sized
+    * scalar fetch, like building a broadcast variable) and embedded
+    * as literals. This is load-bearing, not a convenience:
+    * approx_percentile's sketch merge is fetch-order-sensitive on a
+    * cluster, so leaving the bounds aggregate as a lazy frame
+    * referenced from two plan branches (offsets and ranking) would
+    * make consistent bucketing depend on exchange-reuse deduplicating
+    * the two subtrees — literals make every branch see the same cuts
+    * by construction.
     */
   def ntileExact(df: DataFrame, buckets: Int, out: String,
       key: Column, tiebreak: Seq[Column], cuts: Int = 63): DataFrame = {
     val kc = s"_k_$out"; val bc = s"_b_$out"
     val withK = df.withColumn(kc, key)
     val pcts = typedLit((1 to cuts).map(_.toDouble / (cuts + 1)))
-    val bounds = withK.agg(
-      approx_percentile(col(kc), pcts, lit(10000)).as("_bnds"))
+    val boundRows = withK.agg(
+      approx_percentile(col(kc), pcts, lit(10000)).as("_bnds")).collect()
+    if (boundRows.isEmpty || boundRows.head.isNullAt(0))
+      return df.withColumn(out, lit(1).cast("int")) // empty input: no rows to tile
+    val cutLits = boundRows.head.getSeq[Any](0).map(lit(_))
     // range bucket = #cut points strictly below the key — monotone in
     // the key, so bucket order IS global order
-    val bucketed = withK.crossJoin(broadcast(bounds))
-      .withColumn(bc, aggregate(col("_bnds"), lit(0),
-        (acc, b) => acc + when(b < col(kc), 1).otherwise(0)))
-      .drop("_bnds")
+    val bucketed = withK.withColumn(bc,
+      cutLits.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(b < col(kc), 1).otherwise(0)
+      })
     val wOff = Window.orderBy(col(bc)) // cuts-sized frame, not the data
     val offs = bucketed.groupBy(col(bc)).agg(count(lit(1)).as("_cnt"))
       .withColumn("_off", coalesce(

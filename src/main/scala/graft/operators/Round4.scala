@@ -58,26 +58,33 @@ object Round4 {
     // eval side ever grows fact-sized and the same equi-join shuffles.
     "dd14_contamination" -> { (s, d) =>
       val W = 13
-      val grams = Dedup.barrier(graft.core.Tables.documents(s, d)
+      // docs shorter than one gram are still TRAIN DOCS (trivially
+      // uncontaminated) — they stay in the census denominator; only
+      // gram GENERATION filters on length
+      val docs = Dedup.barrier(graft.core.Tables.documents(s, d)
         .withColumn("toks", split(trim(col("text")), "\\s+"))
-        .filter(size(col("toks")) >= W)
         .withColumn("is_eval",
           Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
-        .select(col("doc_id"), col("source"), col("is_eval"),
+        .select(col("doc_id"), col("source"), col("is_eval"), col("toks")))
+      val grams = docs.filter(size(col("toks")) >= W)
+        .select(col("doc_id"), col("is_eval"),
           explode(transform(sequence(lit(0), size(col("toks")) - W),
             i => Hashing.hash64(concat_ws(" ", slice(col("toks"), i + 1, lit(W))))))
-            .as("g")))
+            .as("g"))
       val evalGrams = grams.filter(col("is_eval"))
         .select(col("g")).distinct().withColumn("hit", lit(1))
-      grams.filter(!col("is_eval"))
+      val hitDocs = grams.filter(!col("is_eval"))
         .join(broadcast(evalGrams), Seq("g"), "left")
-        .groupBy(col("doc_id"), col("source"))
+        .groupBy(col("doc_id"))
         .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))
+      docs.filter(!col("is_eval"))
+        .select(col("doc_id"), col("source"))
+        .join(hitDocs, Seq("doc_id"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_train_docs"),
-          sum(col("contaminated")).cast("long").as("n_contaminated"),
-          Det.trunc4(sum(col("contaminated")).cast("double") / count(lit(1)))
-            .as("contamination_rate"))
+          sum(coalesce(col("contaminated"), lit(0))).cast("long").as("n_contaminated"),
+          Det.trunc4(sum(coalesce(col("contaminated"), lit(0))).cast("double") /
+            count(lit(1))).as("contamination_rate"))
         .orderBy(col("source"))
     },
 
@@ -122,14 +129,26 @@ object Round4 {
       val e = graft.core.Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
-      val dims = e.select(col("label"), posexplode(col("emb")))
+      // train the K-centroid model with ONE distributed aggregation,
+      // then hold it driver-side (K × dim doubles — the quantizer
+      // model a real pipeline keeps on the driver, like a fitted
+      // KMeansModel). The packed assignment row and the drift join
+      // both derive from this same local frame, so no plan branch can
+      // re-run the expensive (label, dim) aggregation — nor disagree
+      // with the other branch's copy of the model.
+      val centRows = e.select(col("label"), posexplode(col("emb")))
         .groupBy(col("label"), col("pos"))
         .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
           count(lit(1))).as("c"))
-      val cents = dims.groupBy(col("label"))
+        .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("cent"))
-        .withColumn("c_norm", Similarity.l2norm(col("cent")))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      val cents = {
+        import s.implicits._
+        centRows.toSeq.toDF("label", "cent")
+          .withColumn("c_norm", Similarity.l2norm(col("cent")))
+      }
       val packed = cents.agg(array_sort(collect_list(
         struct(col("label"), col("cent"), col("c_norm")))).as("cs"))
       val assigned = Dedup.barrier(e
@@ -170,22 +189,31 @@ object Round4 {
     // The reference's `block_heights_processing` gauge (stats.rs:8-10,
     // stats.rs:85-97 start/end_process_block): how many items are
     // concurrently in flight. Re-expressed as a sweep-line over
-    // processing spans [ts, ts + value sec): +1/-1 deltas, net per
-    // distinct instant (tie-order independence), running sum = the
-    // gauge, daily peak per type. The sweep partitions by (event_type,
-    // start-day) — bounded slices, no global sort; integer
-    // microseconds end-to-end so both engines agree exactly.
+    // processing spans [ts, ts + value sec): each span splits into the
+    // days it covers and contributes +1/-1 at its CLIPPED in-day
+    // start/end, so every (type, day) partition sweeps its TRUE
+    // concurrency — spans carried over midnight count in both days.
+    // Deltas net per distinct instant (tie-order independence),
+    // running sum = the gauge, daily peak per type. Partitions are
+    // bounded day slices, no global sort; integer microseconds
+    // end-to-end so both engines agree exactly.
     "ev26_inflight_gauge" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val ev = graft.core.Tables.events(s, d)
         .select(col("event_type"), col("ts"), col("value"))
-        .withColumn("day", to_date(col("ts")))
         .withColumn("s_us", expr("unix_micros(ts)"))
         .withColumn("e_us",
           col("s_us") + floor(col("value") * lit(1000000.0)).cast("long"))
-      val pts = ev.select(col("event_type"), col("day"), col("s_us").as("t"),
+      val spans = ev
+        .select(col("event_type"), col("s_us"), col("e_us"),
+          explode(sequence(to_date(col("ts")),
+            to_date(timestamp_micros(col("e_us"))))).as("day"))
+        .withColumn("day_s", expr("unix_micros(cast(day as timestamp))"))
+        .withColumn("cs", greatest(col("s_us"), col("day_s")))
+        .withColumn("ce", least(col("e_us"), col("day_s") + lit(86400000000L)))
+      val pts = spans.select(col("event_type"), col("day"), col("cs").as("t"),
           lit(1L).as("delta"))
-        .unionByName(ev.select(col("event_type"), col("day"), col("e_us").as("t"),
+        .unionByName(spans.select(col("event_type"), col("day"), col("ce").as("t"),
           lit(-1L).as("delta")))
         .groupBy(col("event_type"), col("day"), col("t"))
         .agg(sum(col("delta")).as("net"))
@@ -237,23 +265,25 @@ object Round4 {
       s"""WITH base AS (
          |  SELECT doc_id, source, $duckToks AS toks,
          |    (${graft.functions.Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} % 20 = 0) AS is_eval
-         |  FROM documents WHERE len($duckToks) >= 13),
+         |  FROM documents),
          |grams AS (
-         |  SELECT doc_id, source, is_eval,
+         |  SELECT doc_id, is_eval,
          |    unnest(list_transform(range(len(toks) - 12),
          |      i -> ${graft.functions.Hashing.duckHash64("array_to_string(toks[i+1:i+13], ' ')")})) AS g
-         |  FROM base),
+         |  FROM base WHERE len(toks) >= 13),
          |ev AS (SELECT DISTINCT g FROM grams WHERE is_eval),
          |perdoc AS (
-         |  SELECT t.doc_id, t.source,
+         |  SELECT t.doc_id,
          |    MAX(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS contaminated
          |  FROM grams t LEFT JOIN ev ON t.g = ev.g
          |  WHERE NOT t.is_eval
-         |  GROUP BY t.doc_id, t.source)
+         |  GROUP BY t.doc_id)
          |SELECT source, COUNT(*) AS n_train_docs,
-         |  CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
-         |  ${Det.duckTrunc("CAST(SUM(contaminated) AS DOUBLE) / COUNT(*)", 4)} AS contamination_rate
-         |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+         |  CAST(SUM(COALESCE(contaminated, 0)) AS BIGINT) AS n_contaminated,
+         |  ${Det.duckTrunc("CAST(SUM(COALESCE(contaminated, 0)) AS DOUBLE) / COUNT(*)", 4)} AS contamination_rate
+         |FROM base LEFT JOIN perdoc USING (doc_id)
+         |WHERE NOT is_eval
+         |GROUP BY source ORDER BY source""".stripMargin
     },
 
     "tx13_bigram_lm" ->
@@ -311,15 +341,24 @@ object Round4 {
 
     "ev26_inflight_gauge" ->
       s"""WITH ev AS (
-         |  SELECT event_type, CAST(ts AS DATE) AS day,
-         |    epoch_us(ts) AS s_us,
+         |  SELECT event_type, ts, epoch_us(ts) AS s_us,
          |    epoch_us(ts) + CAST(floor(value * 1000000.0) AS BIGINT) AS e_us
          |  FROM events),
+         |spans AS (
+         |  SELECT event_type, s_us, e_us,
+         |    CAST(unnest(generate_series(CAST(ts AS DATE),
+         |      CAST(make_timestamp(e_us) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+         |  FROM ev),
+         |clip AS (
+         |  SELECT event_type, day,
+         |    GREATEST(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS cs,
+         |    LEAST(e_us, epoch_us(CAST(day AS TIMESTAMP)) + 86400000000) AS ce
+         |  FROM spans),
          |pts AS (
          |  SELECT event_type, day, t, CAST(SUM(delta) AS BIGINT) AS net FROM (
-         |    SELECT event_type, day, s_us AS t, 1 AS delta FROM ev
+         |    SELECT event_type, day, cs AS t, 1 AS delta FROM clip
          |    UNION ALL
-         |    SELECT event_type, day, e_us AS t, -1 AS delta FROM ev)
+         |    SELECT event_type, day, ce AS t, -1 AS delta FROM clip)
          |  GROUP BY event_type, day, t),
          |gauge AS (
          |  SELECT event_type, day,

@@ -110,23 +110,58 @@ object NesConfig {
 
   def fromToml(text: String): NesConfig = fromProperties(parseToml(text))
 
-  /** Flatten TOML text to the `fromProperties` key map. */
+  /** Flatten TOML text to the `fromProperties` key map. Quote-aware:
+    * `#` inside strings is content, `\"`/`\\` escapes in basic
+    * (double-quoted) strings are honored, and array elements split on
+    * TOP-LEVEL commas only. One flattening caveat: list values
+    * re-join on commas for the `fromProperties` key space, which is
+    * lossless for the reference's lists (NEAR account ids — the
+    * validated charset `[a-zA-Z0-9._-]` cannot contain a comma).
+    */
   def parseToml(text: String): Map[String, String] = {
     def stripComment(s: String): String = {
-      val b = new StringBuilder; var q: Char = 0
+      val b = new StringBuilder; var q: Char = 0; var esc = false
       for (c <- s) {
-        if (q == 0 && c == '#') return b.toString
-        if (q == 0 && (c == '"' || c == '\'')) q = c
-        else if (q == c) q = 0
-        b += c
+        if (esc) { b += c; esc = false }
+        else if (q == '"' && c == '\\') { b += c; esc = true }
+        else {
+          if (q == 0 && c == '#') return b.toString
+          if (q == 0 && (c == '"' || c == '\'')) q = c
+          else if (q == c) q = 0
+          b += c
+        }
       }
       b.toString
     }
     def unquote(s: String): String = {
       val t = s.trim
-      if (t.length >= 2 && (t.head == '"' || t.head == '\'') && t.last == t.head)
-        t.substring(1, t.length - 1)
+      if (t.length >= 2 && t.head == '"' && t.last == '"') {
+        val b = new StringBuilder; var esc = false
+        for (c <- t.substring(1, t.length - 1)) {
+          if (esc) { b += c; esc = false }
+          else if (c == '\\') esc = true
+          else b += c
+        }
+        b.toString
+      } else if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        t.substring(1, t.length - 1) // literal string: no escapes
       else t
+    }
+    def splitTop(s: String): Seq[String] = {
+      val parts = Seq.newBuilder[String]; val cur = new StringBuilder
+      var q: Char = 0; var esc = false
+      for (c <- s) {
+        if (esc) { cur += c; esc = false }
+        else if (q == '"' && c == '\\') { cur += c; esc = true }
+        else if (q == 0 && c == ',') { parts += cur.toString; cur.clear() }
+        else {
+          if (q == 0 && (c == '"' || c == '\'')) q = c
+          else if (q == c) q = 0
+          cur += c
+        }
+      }
+      parts += cur.toString
+      parts.result()
     }
     var section = ""
     val out = Map.newBuilder[String, String]
@@ -139,7 +174,7 @@ object NesConfig {
         val Array(k, v) = l.split("=", 2)
         val value = v.trim match {
           case a if a.startsWith("[") && a.endsWith("]") =>
-            a.substring(1, a.length - 1).split(",")
+            splitTop(a.substring(1, a.length - 1))
               .map(unquote).filter(_.nonEmpty).mkString(",")
           case s => unquote(s)
         }

@@ -114,6 +114,7 @@ class NesConfigSpec extends SparkSpec {
         |bootstrap.servers = "broker-1:9092,broker-2:9092"
         |security.protocol = "SASL_SSL"
         |sasl.password = "p#ss"  # hash inside quotes is not a comment
+        |sasl.username = "u\"w#x"  # escaped quote must not close the string
         |""".stripMargin
     val f = java.nio.file.Files.createTempFile("graft-nes", ".toml")
     java.nio.file.Files.write(f, toml.getBytes("UTF-8"))
@@ -127,6 +128,7 @@ class NesConfigSpec extends SparkSpec {
     assert(c.kafka("bootstrap.servers") === "broker-1:9092,broker-2:9092")
     assert(c.kafka("security.protocol") === "SASL_SSL")
     assert(c.kafka("sasl.password") === "p#ss")
+    assert(c.kafka("sasl.username") === "u\"w#x")
     // and the client-option shaping still applies downstream
     assert(c.kafkaClientOptions("kafka.bootstrap.servers") === "broker-1:9092,broker-2:9092")
   }

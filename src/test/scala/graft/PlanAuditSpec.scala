@@ -68,10 +68,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q33 plans no single-partition ntile window over the customer frame") {
     val s = planString("q33_rfm_segments")
-    // "ntile(5)" is the window function; a bare "ntile(" would also
-    // match inside "approx_percentile("
     assert(!s.contains("ntile(5)"), s.linesIterator.take(20).mkString("\n"))
-    assert(s.contains("approx_percentile"), s.linesIterator.take(20).mkString("\n"))
+    // the scalable construction: row_number windows partitioned by the
+    // ntileExact range-bucket columns (the cut points themselves are
+    // driver-held literals, so approx_percentile never appears in the
+    // final plan — it runs once as a scalar fetch at build time)
+    assert(s.contains("row_number"), s.linesIterator.take(20).mkString("\n"))
+    Seq("_b_r_score", "_b_f_score", "_b_m_score").foreach { bc =>
+      assert(s.contains(bc), s"missing bucket partition column $bc")
+    }
   }
 
   test("q04 gets a runtime bloom filter on its shuffled fact side at cluster posture") {

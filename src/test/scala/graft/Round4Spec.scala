@@ -185,7 +185,8 @@ class Round4Spec extends SparkSpec {
     val docs = graft.core.Tables.documents(spark, sf)
       .select(col("doc_id"), col("source"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2).trim.split("\\s+")))
-      .filter(_._3.length >= 13)
+    // short docs generate no grams but REMAIN train docs (trivially
+    // uncontaminated) — the census denominator covers every train doc
     def grams(toks: Array[String]): Set[Long] =
       (0 to toks.length - 13).map(i => h64(toks.slice(i, i + 13).mkString(" "))).toSet
     val (evalDocs, trainDocs) = docs.partition(d => h64(d._1.toString) % 20 == 0)
@@ -204,15 +205,21 @@ class Round4Spec extends SparkSpec {
   }
 
   test("ev26 gauge equals a driver-side sweep-line recompute") {
+    val dayUs = 86400000000L
     val ev = graft.core.Tables.events(spark, sf)
-      .select(col("event_type"), expr("unix_micros(ts)").as("s"),
-        to_date(col("ts")).as("day"), col("value"))
-      .collect().map(r => (r.getString(0), r.getLong(1),
-        r.getDate(2).toString, r.getDouble(3)))
-    val dayPeaks = ev.groupBy(e => (e._1, e._3)).map { case (k, es) =>
-      val deltas = es.flatMap(e => Seq(
-        e._2 -> 1L, (e._2 + math.floor(e._4 * 1000000.0).toLong) -> -1L))
-      val byT = deltas.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .select(col("event_type"), expr("unix_micros(ts)").as("s"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // split each span across the UTC days it covers, clipped per day —
+    // the cross-midnight carry the query must reproduce
+    val deltas = ev.flatMap { case (t, s, v) =>
+      val e = s + math.floor(v * 1000000.0).toLong
+      (Math.floorDiv(s, dayUs) to Math.floorDiv(e, dayUs)).flatMap { d =>
+        val cs = math.max(s, d * dayUs); val ce = math.min(e, (d + 1) * dayUs)
+        Seq(((t, d), cs, 1L), ((t, d), ce, -1L))
+      }
+    }
+    val dayPeaks = deltas.groupBy(_._1).map { case (k, es) =>
+      val byT = es.groupBy(_._2).view.mapValues(_.map(_._3).sum)
         .toSeq.sortBy(_._1)
       k -> byT.scanLeft(0L)(_ + _._2).tail.max
     }

@@ -43,6 +43,45 @@ object TextAnalysis {
     "de" -> Seq("der", "und", "das"),
     "fr" -> Seq("le", "et", "les"))
 
+  /** documents frame → + `guessed` column (the tx03 guesser). ONE
+    * definition feeds tx03's confusion matrix and tx15's eval harness
+    * — drift here would let the eval measure a different guesser than
+    * the one shipped.
+    */
+  private[operators] def langGuessed(docs: DataFrame): DataFrame = {
+    val df = docs.withColumn("toks", tokens(col("text")))
+    val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
+      acc.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => t.isInCollection(markers))))
+    }
+    val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"s_$l") }
+    scored.withColumn("guessed",
+      when(en >= es && en >= de && en >= fr && en > 0, "en")
+        .when(es >= de && es >= fr && es > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unk"))
+  }
+
+  /** DuckDB twin of [[langGuessed]]: per-doc (lang, guessed) rows.
+    * (Dedup.duckToks, not the local duckToks: object vals initialize
+    * in declaration order and the local one is declared further down.)
+    */
+  private[operators] val duckGuessSql: String =
+    s"""SELECT lang,
+       |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+       |         WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+       |         WHEN s_fr > 0 THEN 'fr'
+       |         ELSE 'unk' END AS guessed
+       |  FROM (
+       |    SELECT lang,
+       |      len(list_filter(${Dedup.duckToks}, t -> t IN ('the','is','of'))) AS s_en,
+       |      len(list_filter(${Dedup.duckToks}, t -> t IN ('el','la','los'))) AS s_es,
+       |      len(list_filter(${Dedup.duckToks}, t -> t IN ('der','und','das'))) AS s_de,
+       |      len(list_filter(${Dedup.duckToks}, t -> t IN ('le','et','les'))) AS s_fr
+       |    FROM documents)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx01_token_count" -> { (s, d) =>
       Tables.documents(s, d)
@@ -68,20 +107,7 @@ object TextAnalysis {
     },
 
     "tx03_lang_id" -> { (s, d) =>
-      val df = Tables.documents(s, d)
-        .withColumn("toks", tokens(col("text")))
-      val scored = LangMarkers.foldLeft(df) { case (acc, (lang, markers)) =>
-        acc.withColumn(s"s_$lang",
-          size(filter(col("toks"), t => t.isInCollection(markers))))
-      }
-      val Seq(en, es, de, fr) = LangMarkers.map { case (l, _) => col(s"s_$l") }
-      val guess =
-        when(en >= es && en >= de && en >= fr && en > 0, "en")
-          .when(es >= de && es >= fr && es > 0, "es")
-          .when(de >= fr && de > 0, "de")
-          .when(fr > 0, "fr")
-          .otherwise("unk")
-      scored.withColumn("guessed", guess)
+      langGuessed(Tables.documents(s, d))
         .groupBy(col("lang"), col("guessed"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("guessed"))
@@ -218,19 +244,7 @@ object TextAnalysis {
 
     "tx03_lang_id" ->
       s"""SELECT lang, guessed, COUNT(*) AS n_docs FROM (
-         |  SELECT lang,
-         |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
-         |         WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
-         |         WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
-         |         WHEN s_fr > 0 THEN 'fr'
-         |         ELSE 'unk' END AS guessed
-         |  FROM (
-         |    SELECT lang,
-         |      len(list_filter($duckToks, t -> t IN ('the','is','of'))) AS s_en,
-         |      len(list_filter($duckToks, t -> t IN ('el','la','los'))) AS s_es,
-         |      len(list_filter($duckToks, t -> t IN ('der','und','das'))) AS s_de,
-         |      len(list_filter($duckToks, t -> t IN ('le','et','les'))) AS s_fr
-         |    FROM documents))
+         |  $duckGuessSql)
          |GROUP BY lang, guessed ORDER BY lang, guessed""".stripMargin,
 
     "tx05_edit_distance" ->

@@ -216,6 +216,56 @@ object StreamJobs {
       }
   }
 
+  case class RateIn(user_id: Long, event_type: String, t: Long)
+  case class RateState(recent: Seq[Long])
+  case class RateOut(user_id: Long, event_type: String, t: Long, throttled: Boolean)
+
+  /** Streaming admission control — the stateful twin of batch ev27,
+    * with EXACT trailing-window semantics in O(limit) state per key.
+    *
+    * An event is throttled when its user's trailing `windowUs` window
+    * (inclusive of the event) holds more than `limit` events. The
+    * state keeps only the `limit` NEWEST timestamps: any timestamp
+    * dropped for capacity is older than everything kept, so it can
+    * only matter while ≥ limit kept ones are also in-window — and then
+    * the decision is already "throttle". Exactness without unbounded
+    * per-key growth is the property that makes this deployable: a
+    * burst of millions of events per key still carries `limit` longs
+    * of state.
+    *
+    * Events are processed in timestamp order within each micro-batch
+    * (the per-batch sort mirrors how ev27's RANGE window orders the
+    * batch world); cross-batch late data older than the state's newest
+    * timestamp is counted against the window like any other event —
+    * admission decisions are made in arrival order, as a live limiter
+    * must.
+    *
+    * NoTimeout like streamAsOf/streamCompact: state is O(limit) longs
+    * per key ever seen, the bound an admission-control table holds
+    * anyway. (A ProcessingTimeTimeout would let idle keys evict, but
+    * processing-time timers make the engine schedule no-data batches
+    * continuously — sessionize pays that only because unbounded-gap
+    * session state MUST flush; a fixed-size limiter doesn't.)
+    */
+  def rateLimit(events: Dataset[RateIn], limit: Int = 5,
+      windowUs: Long = 86400000000L): Dataset[RateOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[RateIn], state: GroupState[RateState]) =>
+          var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
+          val out = rows.toSeq.sortBy(_.t).map { e =>
+            val live = recent.filter(_ > e.t - windowUs)
+            val throttled = live.size >= limit
+            recent = (live :+ e.t).takeRight(limit)
+            RateOut(user, e.event_type, e.t, throttled)
+          }
+          state.update(RateState(recent))
+          out.iterator
+      }
+  }
+
   /** configs.rs SyncModeSubCommand re-expressed as source positioning:
     * the reference resumes from interruption (checkpoint), from the
     * latest block, or from a given height — exactly Structured

@@ -129,6 +129,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("PushedFilters: [") && s.contains("In(user_id"), s)
   }
 
+  test("dd15 candidates come from the shingle equi-join over a materialized signature table") {
+    val s = planString("dd15_containment")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"), s)
+    // the DF-ordered signature table is barrier-materialized so the
+    // two self-join sides don't re-run the shingle+DF pipeline
+    assert(s.contains("InMemoryTableScan"), s)
+  }
+
+  test("ss10 broadcasts the packed per-dim stats row; quantization stays narrow") {
+    val s = planString("ss10_scalar_quant")
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
+  test("q34/ev27 rolling windows are partitioned by their key, never single-partition") {
+    val q = planString("q34_anomaly_zscore")
+    assert(q.contains("windowspecdefinition(event_type"), q)
+    val e = planString("ev27_rate_limit")
+    assert(e.contains("windowspecdefinition(user_id"), e)
+  }
+
   test("no operator plans an accidental cartesian / nested-loop join") {
     // intentional single-row broadcasts (query vector, global tip,
     // funnel scalars): a BroadcastNestedLoopJoin against ONE row is
@@ -147,7 +167,9 @@ class PlanAuditSpec extends SparkSpec {
       // q33 broadcasts the 1-row tip-date aggregate
       "q33_rfm_segments",
       // ss09 broadcasts the 1-row packed-centroids aggregate
-      "ss09_kmeans_iterate")
+      "ss09_kmeans_iterate",
+      // ss10 broadcasts the 1-row packed per-dim [min,max] aggregate
+      "ss10_scalar_quant")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -122,4 +122,34 @@ class StreamStateSpec extends SparkSpec {
     assert(rows.length === 1)
     assert(rows.head.getAs[String]("event_key") === "u1")
   }
+
+  test("streaming rate limiter matches ev27's batch census on ordered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJobs.RateIn
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("t"))
+      .as[RateIn].collect().sortBy(_.t)
+    val split = ev(ev.length / 2).t
+    val (batch1, batch2) = ev.partition(_.t <= split)
+    val in = MemoryStream[RateIn]
+    val q = StreamJobs.rateLimit(in.toDS()).writeStream
+      .format("memory").queryName("rate_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(batch1.toSeq); q.processAllAvailable()
+    in.addData(batch2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rate_out")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("throttled"), 1L).otherwise(0L)).as("n_throttled"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = SparkEntry.queries("ev27_rate_limit")(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_throttled"))).toMap
+    // O(limit)-state streaming decisions == the batch RANGE window's,
+    // per event_type — the exactness claim in the rateLimit scaladoc
+    assert(streamed === batch)
+    assert(ev.nonEmpty)
+  }
 }

@@ -260,17 +260,23 @@ object Curation {
             sort_array(Dedup.shingleHashes(col("toks"))).as("shs"))
           .withColumn("n", size(col("shs")))
           .withColumn("pfx_len", (col("n") - ceil(col("n") * t) + 1).cast("int")))
-      val pfx = ds.select(col("doc_id"), col("shs"), col("n"),
+      // SLIM prefix join: only (p, doc_id, n) travels through the
+      // candidate shuffle — carrying the full shingle arrays here
+      // multiplied the shuffle by the doc size (measured 20 s → ~3 s
+      // at sf0.1); the arrays rejoin from the barriered signature
+      // table only for the surviving candidate id pairs
+      val pfx = ds.select(col("doc_id"), col("n"),
         explode(slice(col("shs"), lit(1), col("pfx_len"))).as("p"))
-      val a = pfx.select(col("p"), col("doc_id").as("doc_a"),
-        col("shs").as("sh_a"), col("n").as("n_a"))
-      val b = pfx.select(col("p"), col("doc_id").as("doc_b"),
-        col("shs").as("sh_b"), col("n").as("n_b"))
-      a.join(b, Seq("p"))
+      val a = pfx.select(col("p"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+      val b = pfx.select(col("p"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+      val cand = a.join(b, Seq("p"))
         .filter(col("doc_a") < col("doc_b"))
         // length-ratio pruning (implied by J >= t, so lossless)
         .filter(col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
-        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b")).distinct()
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+        .join(ds.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
         .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("jaccard", Det.trunc4(
           col("n_common").cast("double") /

@@ -183,6 +183,18 @@ object Dedup {
     p
   }
 
+  /** A SECOND materialization point in the same query: persists
+    * WITHOUT releasing the frames the current query already
+    * barriered (calling [[barrier]] twice would unpersist the first
+    * frame mid-query). Released with everything else at the next
+    * query's [[barrier]] call.
+    */
+  private[operators] def barrierAlso(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    liveCaches.add(p)
+    p
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: content-hash groupBy, keeper = min id
     "dd01_exact" -> { (s, d) =>

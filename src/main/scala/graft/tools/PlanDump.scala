@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dumps formatted physical plans for representative queries to
+  * stdout (captured into docs/PLANS.txt). Dev tool — the enforced
+  * versions of these plan claims live in PlanAuditSpec; this file is
+  * for human review of the shapes.
+  */
+object PlanDump {
+  val Representative: Seq[String] = Seq(
+    // one per family: scan pushdown, broadcast dims, dedup banding,
+    // similarity broadcast, text two-level reduction, rolling windows
+    "q02_filter_project", "q03_revenue_by_nation", "q33_rfm_segments",
+    "q34_anomaly_zscore", "q35_inter_arrival",
+    "ev13_pipeline_e2e", "ev15_asof_enrich", "ev26_inflight_gauge",
+    "ev27_rate_limit",
+    "dd03_minhash_lsh", "dd05_embed_cosine", "dd15_containment",
+    "dd16_source_overlap",
+    "ss03_ann_ivf", "ss09_kmeans_iterate", "ss10_scalar_quant",
+    "tx08_winnowing", "tx14_ttr_diversity", "tx16_gram_dup_rate",
+    "pk01_token_packing", "mm06_payload_shards")
+
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Representative.foreach { name =>
+      println(s"========== $name ==========")
+      println(graft.SparkEntry.queries(name)(spark, d).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    spark.stop()
+  }
+}

@@ -71,10 +71,11 @@ class Round4bSpec extends SparkSpec {
   test("q34 anomaly census matches an exact BigInt recompute of the sigma test") {
     val byType = events.groupBy(_._2)
     val expected = byType.map { case (tpe, es) =>
-      val pts = es.map(e => (e._3, math.floor(e._4 * 1000000.0).toLong)).sortBy(_._1)
+      val pts = es.map(e => (e._3 / 3600000000L, math.floor(e._4 * 1000000.0).toLong))
+      val hours = pts.groupBy(_._1)
       var eligible = 0L; var anomalies = 0L
-      pts.foreach { case (t, v) =>
-        val win = pts.filter(p => p._1 >= t - 86400000000L && p._1 <= t).map(_._2)
+      pts.foreach { case (hr, v) =>
+        val win = (hr - 23 to hr).flatMap(h => hours.getOrElse(h, Array.empty).map(_._2))
         val n = BigInt(win.length); val s = win.map(BigInt(_)).sum
         val q = win.map(x => BigInt(x) * x).sum
         if (n >= 30) {

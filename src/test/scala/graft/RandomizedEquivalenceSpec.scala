@@ -151,4 +151,74 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(hs.toSeq === hs2.toSeq)
   }
+
+  test("O(limit)-state stream rate limiter equals the unbounded sliding window on random bursts") {
+    // the exactness claim behind StreamRateLimit's capacity bound:
+    // keeping only the `limit` newest timestamps never changes a
+    // decision. Random bursty traffic with timestamp ties, processed
+    // in event-time order (the operator's documented contract).
+    import graft.streaming.StreamJobs.RateIn
+    for (seed <- Seq(2, 19, 71)) {
+      val rnd = new Random(seed)
+      val limit = 1 + rnd.nextInt(4)
+      val windowUs = 50L
+      var t = 0L
+      val evs = (0 until 400).map { i =>
+        // bursts: usually tiny increments, sometimes a window-sized gap
+        t += (if (rnd.nextInt(10) == 0) windowUs + rnd.nextInt(20) else rnd.nextInt(3))
+        RateIn(rnd.nextInt(5).toLong, "t", t)
+      }
+      val naive = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
+        val sorted = es.sortBy(_.t)
+        sorted.zipWithIndex.map { case (e, i) =>
+          val inWin = sorted.take(i).count(o => o.t > e.t - windowUs)
+          (e.user_id, e.t, inWin >= limit)
+        }
+      }.groupBy(identity).map { case (k, o) => k -> o.size }
+      val got = graft.streaming.StreamJobs
+        .rateLimit(evs.toDS(), limit, windowUs)
+        .collect()
+        .map(r => (r.user_id, r.t, r.throttled))
+        .groupBy(identity).map { case (k, o) => k -> o.length }
+      assert(got === naive, s"seed=$seed limit=$limit")
+    }
+  }
+
+  test("dd15's capped-prefix candidates lose no containment pair on random overlapping docs") {
+    // the prefix-filter bound: a pair with |A∩B|/|A| >= t always
+    // shares an element in A's (|A| - ceil(t|A|) + 1)-prefix under ANY
+    // total order; random docs built by mutating shared bases so
+    // containment pairs actually exist
+    val t = graft.operators.Round4b.ContainT
+    for (seed <- Seq(13, 29)) {
+      val rnd = new Random(seed)
+      val bases = (0 until 6).map(_ =>
+        (0 until 30 + rnd.nextInt(40)).map(_ => s"w${rnd.nextInt(50)}"))
+      val docTexts = (0 until 80).map { i =>
+        val b = bases(rnd.nextInt(bases.size))
+        val take = 3 + rnd.nextInt(b.size - 3)
+        val start = rnd.nextInt(b.size - take + 1)
+        val slice = b.slice(start, start + take)
+        val mutated = slice.map(w => if (rnd.nextInt(20) == 0) s"m${rnd.nextInt(50)}" else w)
+        (i.toLong, mutated.mkString(" "))
+      }
+      val docs = docTexts.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val dir = s"/tmp/dd15_prop_$seed"
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("dd15_containment")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val sets = docTexts.map { case (id, text) => (id, text.split(" ")) }
+        .filter(_._2.length >= 3)
+        .map { case (id, w) => (id, w.sliding(3).map(_.mkString(" ")).toSet) }
+      val expected = (for {
+        (ida, sa) <- sets; (idb, sb) <- sets if ida != idb
+        c = math.floor(sa.intersect(sb).size.toDouble / sa.size * 10000) / 10000
+        if c >= t
+      } yield (ida, idb, c)).toSet
+      assert(got === expected, s"seed=$seed")
+      assert(expected.nonEmpty, s"seed=$seed produced no containment pairs")
+    }
+  }
 }

@@ -252,14 +252,27 @@ object Curation {
     // length 1 = only exact for t = 1).
     "dd08_jaccard_prefix" -> { (s, d) =>
       val t = 0.5
-      val ds = Dedup.barrier(
+      // CANONICAL document-frequency-ascending shingle order (the
+      // PPJoin ordering, as in dd15): prefix filtering is exact under
+      // ANY total order, but DF-ascending prefixes hold each doc's
+      // RAREST shingles, so candidate buckets are sized by
+      // rare-shingle DF instead of stop-shingle DF — at t = 0.5 the
+      // prefix is half of every doc, and hash order would drag every
+      // hot shingle into half the prefixes (Σ DF² bucket blowup)
+      val ds0 = Dedup.barrier(
         Tables.documents(s, d)
           .withColumn("toks", split(trim(col("text")), "\\s+"))
           .filter(size(col("toks")) >= 3)
-          .select(col("doc_id"),
-            sort_array(Dedup.shingleHashes(col("toks"))).as("shs"))
-          .withColumn("n", size(col("shs")))
-          .withColumn("pfx_len", (col("n") - ceil(col("n") * t) + 1).cast("int")))
+          .select(col("doc_id"), Dedup.shingleHashes(col("toks")).as("shs")))
+      val dfreq = ds0.select(explode(col("shs")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("dfc"))
+      val ds = Dedup.barrierAlso(ds0
+        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+        .join(dfreq, Seq("h"))
+        .groupBy(col("doc_id"), col("n"))
+        .agg(transform(array_sort(collect_list(struct(col("dfc"), col("h")))),
+          x => x.getField("h")).as("shs"))
+        .withColumn("pfx_len", (col("n") - ceil(col("n") * t) + 1).cast("int")))
       // SLIM prefix join: only (p, doc_id, n) travels through the
       // candidate shuffle — carrying the full shingle arrays here
       // multiplied the shuffle by the doc size (measured 20 s → ~3 s

@@ -1,0 +1,92 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Storage-side sinks for the batch/streaming pipeline output — the
+  * counterpart of the Kafka delivery path (StreamJobs.Kafka) for
+  * pipelines that land in a partitioned object store instead of a
+  * topic.
+  *
+  * Both sinks are idempotent under re-run, which is the property that
+  * matters at 100 TB: a failed-and-retried job must not duplicate or
+  * half-overwrite yesterday's output.
+  */
+object Sinks {
+
+  /** Partition-granular idempotent write: INSERT OVERWRITE semantics
+    * scoped to the partitions present in `df` (dynamic partition
+    * overwrite). Re-running a day's job rewrites exactly that day's
+    * directories and leaves every other partition byte-identical —
+    * the restartable-backfill contract. Partition columns also prune
+    * downstream reads (`WHERE day = …` never touches other dirs).
+    */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write
+      // per-write override: no session-wide conf flip needed
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Keyed upsert-compaction into a parquet directory: latest record
+    * per key wins by (version, tiebreak = incoming over existing),
+    * tombstones (`deleted = true`) drop the key. The batch analog of
+    * materializing a compacted Kafka topic (ev22/StreamCompact) to
+    * storage, shaped for `foreachBatch`: each call folds one batch
+    * into the store.
+    *
+    * Write protocol: stage → swap. The merged snapshot writes to a
+    * staging directory first and moves into place only after success,
+    * so a mid-write failure leaves the previous snapshot intact
+    * (parquet directory writes are not atomic; the rename is).
+    * State is O(live keys) — the same bound the compacted topic
+    * itself holds.
+    */
+  def upsertByKey(
+      batch: DataFrame,
+      path: String,
+      keyCol: String,
+      versionCol: String,
+      deletedCol: String = "deleted"): Unit = {
+    val spark = batch.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val existing =
+      if (fs.exists(target)) spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+    // incoming rows outrank existing rows at equal version: a re-run
+    // of the same batch must converge to the same snapshot, not flap
+    val merged = existing.withColumn("_src", lit(0))
+      .unionByName(batch.withColumn("_src", lit(1)))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(col(versionCol).desc, col("_src").desc)))
+      .filter(col("_rk") === 1)
+      .filter(!coalesce(col(deletedCol), lit(false)))
+      .drop("_rk", "_src")
+    val staging = new org.apache.hadoop.fs.Path(path + "._staging")
+    fs.delete(staging, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val backup = new org.apache.hadoop.fs.Path(path + "._prev")
+    fs.delete(backup, true)
+    if (fs.exists(target)) fs.rename(target, backup)
+    fs.rename(staging, target)
+    fs.delete(backup, true)
+  }
+
+  /** Read the compacted store (empty frame with `schema` if nothing
+    * has been written yet).
+    */
+  def readStore(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

@@ -248,6 +248,29 @@ object Round4b {
         .orderBy(col("bucket"))
     },
 
+    // --- ev28: q34's hourly baseline THROUGH Structured Streaming ----
+    // The streaming twin SURVEY promises for the anomaly census: the
+    // hourly (n, Σv, Σv²) partials computed as a windowed streaming
+    // aggregation (readStream → 1h tumbling window → snapshot), gated
+    // by the same DuckDB hourly definition the batch q34 consumes. In
+    // production this runs under a watermark in append mode and the
+    // batch join picks up finalized hours; Σv² stays decimal-exact
+    // until the single final double cast.
+    "ev28_stream_hourly" -> { (s, d) =>
+      val dec = "decimal(38,0)"
+      val agg = graft.streaming.StreamJobs.eventsFileStream(s, d)
+        .withColumn("v", floor(col("value") * lit(1000000.0)).cast("long"))
+        .groupBy(col("event_type"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_h"), sum(col("v")).as("s_h"),
+          sum(col("v").cast(dec) * col("v").cast(dec)).cast("double").as("q_h"))
+      graft.streaming.StreamJobs
+        .runMemorySnapshot(agg, "graft_ev28_mem", "complete")
+        .select(col("event_type"),
+          expr("unix_micros(w.start) div 3600000000").as("hr"),
+          col("n_h"), col("s_h"), col("q_h"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+
     // --- tx16: inter-document gram-duplication census ----------------
     // The train-train twin of dd14's train-eval check: what fraction
     // of each doc's distinct 13-grams appear in ≥2 documents (crawl-
@@ -493,6 +516,15 @@ object Round4b {
          |  ${Det.duckTrunc("CAST(n_docs * bucket - sum_tokens AS DOUBLE) / (n_docs * bucket)", 4)}
          |    AS waste_frac
          |FROM agg ORDER BY bucket""".stripMargin,
+
+    "ev28_stream_hourly" ->
+      s"""SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         |  COUNT(*) AS n_h,
+         |  CAST(SUM(v) AS BIGINT) AS s_h,
+         |  CAST(SUM(CAST(v AS HUGEINT) * v) AS DOUBLE) AS q_h
+         |FROM (SELECT event_type, ts,
+         |        CAST(floor(value * 1000000.0) AS BIGINT) AS v FROM events)
+         |GROUP BY event_type, hr ORDER BY event_type, hr""".stripMargin,
 
     "tx16_gram_dup_rate" -> {
       val g13 = graft.functions.Hashing.duckHash64("array_to_string(toks[i+1:i+13], ' ')")

@@ -56,6 +56,21 @@ class SinksSpec extends SparkSpec {
     assert(snapshot() === expected)
   }
 
+  test("upsertByKey survives a tombstone-all batch: empty snapshot, then revival") {
+    val path = tmpDir("sink_empty")
+    val b1 = Seq((1L, 1L, "a", false)).toDF("k", "ver", "v", "deleted")
+    Sinks.upsertByKey(b1, path, "k", "ver")
+    val killAll = Seq((1L, 2L, "", true)).toDF("k", "ver", "v", "deleted")
+    Sinks.upsertByKey(killAll, path, "k", "ver")
+    assert(spark.read.parquet(path).count() === 0)
+    // the empty snapshot must still be a readable store for the next batch
+    val b3 = Seq((1L, 3L, "back", false)).toDF("k", "ver", "v", "deleted")
+    Sinks.upsertByKey(b3, path, "k", "ver")
+    val out = spark.read.parquet(path).select(col("k"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "back")))
+  }
+
   test("upsertByKey drives the streaming CDC path via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmpDir("sink_stream")

@@ -139,6 +139,32 @@ object Round4b {
         .orderBy(col("event_type"))
     },
 
+    // --- q36: last-touch revenue attribution -------------------------
+    // Marketing-style attribution over the event stream: each
+    // purchase credits its user's LATEST preceding non-purchase event
+    // within 24 h (else 'direct'), censused by attributed touch type
+    // in exact micro-units. The as-of lookup is the library's own
+    // AsOf.joinAsOf (one shuffle, no pair explosion), carrying the
+    // touch's type AND time so the attribution window is checked on
+    // the carried row — DuckDB's native ASOF JOIN is the oracle.
+    "q36_last_touch" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("t"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("v_us"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("tt"),
+          col("event_type").as("touch"))
+      AsOf.joinAsOf(purchases, touches, "user_id", "t", "tt", Seq("touch", "tt"))
+        .withColumn("attributed",
+          when(col("asof_tt").isNotNull &&
+            col("asof_tt") >= col("t") - lit(86400000000L), col("asof_touch"))
+            .otherwise(lit("direct")))
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v_us")).as("value_us"))
+        .orderBy(col("attributed"))
+    },
+
     // --- ss10: int8 scalar quantization ------------------------------
     // The memory-compression path for serving ANN at 100 TB: per-dim
     // global [min, max] (one aggregation over posexploded dims — a
@@ -459,6 +485,23 @@ object Round4b {
          |  COUNT(DISTINCT CASE WHEN cnt > $RateLimit THEN user_id END) AS n_users_throttled,
          |  CAST(MAX(cnt) AS BIGINT) AS max_burst
          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q36_last_touch" ->
+      s"""WITH p AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS t,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS v_us
+         |  FROM events WHERE event_type = 'purchase'),
+         |tch AS (
+         |  SELECT user_id, epoch_us(ts) AS tt, event_type AS touch
+         |  FROM events WHERE event_type != 'purchase'),
+         |j AS (
+         |  SELECT p.t, p.v_us, r.tt AS asof_tt, r.touch AS asof_touch
+         |  FROM p ASOF LEFT JOIN tch r
+         |    ON p.user_id = r.user_id AND r.tt <= p.t)
+         |SELECT CASE WHEN asof_tt IS NOT NULL AND asof_tt >= t - 86400000000
+         |         THEN asof_touch ELSE 'direct' END AS attributed,
+         |  COUNT(*) AS n_purchases, CAST(SUM(v_us) AS BIGINT) AS value_us
+         |FROM j GROUP BY attributed ORDER BY attributed""".stripMargin,
 
     "ss10_scalar_quant" -> {
       val reconExpr =

@@ -96,6 +96,31 @@ class Round4bSpec extends SparkSpec {
     }
   }
 
+  test("q36 attribution census matches a driver-side as-of recompute") {
+    val purchases = events.filter(_._2 == "purchase")
+    val touches = events.filter(_._2 != "purchase")
+    val byUser = touches.groupBy(_._1)
+    val attributed = purchases.map { p =>
+      val prior = byUser.getOrElse(p._1, Array.empty)
+        .filter(_._3 <= p._3)
+      val last = if (prior.isEmpty) None else Some(prior.maxBy(_._3))
+      val attr = last match {
+        case Some(l) if l._3 >= p._3 - 86400000000L => l._2
+        case _ => "direct"
+      }
+      (attr, math.floor(p._4 * 1000000.0).toLong)
+    }
+    val rows = SparkEntry.queries("q36_last_touch")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_purchases")).sum === purchases.length.toLong)
+    rows.foreach { r =>
+      val of = attributed.filter(_._1 == r.getAs[String]("attributed"))
+      assert(r.getAs[Long]("n_purchases") === of.length.toLong)
+      assert(r.getAs[Long]("value_us") === of.map(_._2).sum)
+    }
+    assert(rows.map(_.getAs[String]("attributed")).toSet ===
+      attributed.map(_._1).toSet)
+  }
+
   test("ev27 throttle census matches a driver-side sliding-window recompute") {
     val limit = operators.Round4b.RateLimit
     // per-event trailing 24h count within the user's event set

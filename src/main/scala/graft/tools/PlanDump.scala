@@ -12,7 +12,7 @@ object PlanDump {
     // one per family: scan pushdown, broadcast dims, dedup banding,
     // similarity broadcast, text two-level reduction, rolling windows
     "q02_filter_project", "q03_revenue_by_nation", "q33_rfm_segments",
-    "q34_anomaly_zscore", "q35_inter_arrival",
+    "q34_anomaly_zscore", "q35_inter_arrival", "q36_last_touch",
     "ev13_pipeline_e2e", "ev15_asof_enrich", "ev26_inflight_gauge",
     "ev27_rate_limit",
     "dd03_minhash_lsh", "dd05_embed_cosine", "dd15_containment",

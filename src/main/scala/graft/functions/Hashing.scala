@@ -60,4 +60,32 @@ object Hashing {
     (0 until 8).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
       s"(($acc * $KrB + $cps[$i + ${k + 1}]) % $KrM)"
     }
+
+  /** Karp-Rabin modulus for folding 60-bit TOKEN HASHES (vs [[KrM]]'s
+    * codepoint domain): the largest prime < 2^55, so every Horner step
+    * `acc*B + th` is at most (2^55)·131 + 2^60 < 2^63 — overflow-free
+    * in checked BIGINT arithmetic on both engines while keeping a
+    * 55-bit hash space (window-collision probability ~n²/2^56).
+    */
+  val KrTokM = 36028797018963913L
+
+  /** Karp-Rabin hash of the `w`-token window at 0-based offset `i` of
+    * the document whose per-token [[hash64]] values are precomputed in
+    * array column `ths`. One md5 per TOKEN (shared by every window
+    * containing it) + w codegen'd multiply-adds per window — the
+    * md5-per-window variant this replaces paid a digest + hex parse at
+    * every token position.
+    */
+  def krTok(ths: Column, i: Column, w: Int): Column =
+    (0 until w).foldLeft(lit(0L): Column) { (acc, k) =>
+      (acc * lit(KrB) + element_at(ths, i + lit(k + 1))) % lit(KrTokM)
+    }
+
+  /** DuckDB fragment equivalent of [[krTok]]: `ths` names a BIGINT
+    * list column (1-based), `i` the 0-based window start expression.
+    */
+  def duckKrTok(ths: String, i: String, w: Int): String =
+    (0 until w).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"(($acc * $KrB + $ths[$i + ${k + 1}]) % $KrTokM)"
+    }
 }

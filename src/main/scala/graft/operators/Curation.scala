@@ -301,12 +301,16 @@ object Curation {
 
     // --- dd07: SimHash hamming pairs via band bucketing --------------
     // Near-dup pairs with hamming(simhash) <= 3 — candidates from 4
-    // bands of 6 bits. With all 24 bits covered by 4 disjoint bands,
-    // pigeonhole makes the cover EXACT for this layout: <= 3 flipped
-    // bits across 4 bands always leave at least one band clean, so
-    // every distance-<=3 pair shares a band and the candidate set is
-    // complete (banding only becomes a recall/cost dial when the
-    // threshold reaches the band count). The oracle mirrors the same
+    // disjoint 15-bit bands of the 60-bit simhash. With all 60 bits
+    // covered by 4 disjoint bands, pigeonhole makes the cover EXACT
+    // for this layout: <= 3 flipped bits across 4 bands always leave
+    // at least one band clean, so every distance-<=3 pair shares a
+    // band and the candidate set is complete (banding only becomes a
+    // recall/cost dial when the threshold reaches the band count).
+    // Band width is the SCALE dial: 2^15 bucket values per band keeps
+    // bucket occupancy ~n/32768, where the 6-bit layout this replaced
+    // degenerated to n/64-sized buckets (candidate pairs O(n²/64) —
+    // a near cross join at corpus scale). The oracle mirrors the same
     // banding so the gate checks this construction, not a different
     // one.
     "dd07_hamming_pairs" -> { (s, d) =>
@@ -315,8 +319,9 @@ object Curation {
       // pipeline (the round-1 dd02 lesson applied here)
       val banded = Dedup.barrier(
         Dedup.simhashes(s, d).select(col("doc_id"), col("simhash"),
-            posexplode(array((0 until 4).map(b =>
-              shiftright(col("simhash"), b * 6).bitwiseAND(63)): _*)))
+            posexplode(array((0 until Dedup.SimhashBands).map(b =>
+              shiftright(col("simhash"), b * Dedup.SimhashBandBits)
+                .bitwiseAND(Dedup.SimhashBandMask)): _*)))
           .withColumnRenamed("pos", "band")
           .withColumnRenamed("col", "bval"))
       val l = banded.select(col("band"), col("bval"),
@@ -690,8 +695,9 @@ object Curation {
       val dd04 = Dedup.oracles("dd04_simhash")
       s"""WITH sims AS ($dd04),
          |banded AS (
-         |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 6)) & 63 AS bval
-         |  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS b) t)
+         |  SELECT doc_id, simhash, b AS band,
+         |    (simhash >> (b * ${Dedup.SimhashBandBits})) & ${Dedup.SimhashBandMask} AS bval
+         |  FROM sims CROSS JOIN (SELECT unnest(range(${Dedup.SimhashBands})) AS b) t)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.simhash AS sh_a, b.simhash AS sh_b

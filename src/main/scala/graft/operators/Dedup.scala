@@ -95,7 +95,22 @@ object Dedup {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingleHashes(col("toks")).as("shs"))
 
-  val SimhashBits = 24
+  /** SimHash width. 60 bits — the full width of [[Hashing.hash64]]
+    * (15 hex chars, always non-negative), so every simhash bit is a
+    * real hash bit and none of the bigint sign-bit parity hazards of a
+    * 64-bit layout apply. dd07 bands this as 4 disjoint 15-bit bands
+    * (32,768 bucket values per band): with n docs per band-bucket
+    * averaging n/32768 instead of n/64, candidate pairs grow
+    * O(n²/2^15) per band — the difference between a usable LSH join
+    * and a near cross join at corpus scale. Pigeonhole exactness for
+    * hamming ≤ 3 needs only DISJOINT bands covering all bits (≤ 3
+    * flips across 4 disjoint bands always leave one band clean), so
+    * widening the bands costs zero recall.
+    */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits = 15 // SimhashBits / SimhashBands
+  val SimhashBandMask = (1L << SimhashBandBits) - 1
 
   /** Embedding near-dup banding geometry: 16 bands × 4 sign bits cover
     * all 64 dims once. Candidates = pairs sharing ≥1 band within their

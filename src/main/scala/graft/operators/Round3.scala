@@ -38,20 +38,27 @@ object Round3 {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dd09: substring-level dedup (duplicated token spans) --------
     // The Lee-et-al-style substring dedup signal, Spark-scalable: every
-    // token window of width SpanW hashes once (one md5 per window),
-    // a window is "duplicated" if it occurs in ≥2 distinct docs, and
-    // each doc reports the fraction of its windows that are
-    // cross-doc duplicates. Two shuffles (wh census + join back), no
-    // suffix array and no pair explosion — at 100 TB the window table
+    // token window of width SpanW hashes once, a window is
+    // "duplicated" if it occurs in ≥2 distinct docs, and each doc
+    // reports the fraction of its windows that are cross-doc
+    // duplicates. Two shuffles (wh census + join back), no suffix
+    // array and no pair explosion — at 100 TB the window table
     // shuffles on the hash exactly like the shingle tables in dd02.
+    // Window hashing is the tx08 Karp-Rabin recipe on the token
+    // domain: one md5 per TOKEN (shared by the ≤SpanW windows
+    // containing it), then a codegen'd SpanW-step Horner fold per
+    // window — the md5-per-window variant this replaced re-built and
+    // re-digested the joined window string at EVERY token position,
+    // ~SpanW× more hash bytes than the corpus itself.
     "dd09_substring_dedup" -> { (s, d) =>
       val base = Tables.documents(s, d)
         .withColumn("toks", toks(col("text")))
         .filter(size(col("toks")) >= SpanW)
-      val wins = Dedup.barrier(base.select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - SpanW),
-          i => Hashing.hash64(concat_ws(" ", slice(col("toks"), i + 1, lit(SpanW))))))
-          .as("wh")))
+      val wins = Dedup.barrier(base
+        .withColumn("ths", transform(col("toks"), t => Hashing.hash64(t)))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("toks")) - SpanW),
+            i => Hashing.krTok(col("ths"), i, SpanW))).as("wh")))
       val dup = wins.groupBy(col("wh"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= 2)
@@ -472,13 +479,14 @@ object Round3 {
 
   def oracles: Map[String, String] = Map(
     "dd09_substring_dedup" -> {
-      val whExpr = Hashing.duckHash64(
-        s"array_to_string(list_slice(toks, i + 1, i + $SpanW), ' ')")
+      val whExpr = Hashing.duckKrTok("ths", "i", SpanW)
       s"""WITH base AS (
-         |  SELECT doc_id, ${Dedup.duckToks} AS toks FROM documents
+         |  SELECT doc_id,
+         |    list_transform(${Dedup.duckToks}, t -> ${Hashing.duckHash64("t")}) AS ths
+         |  FROM documents
          |  WHERE len(${Dedup.duckToks}) >= $SpanW),
          |w AS (
-         |  SELECT doc_id, unnest(list_transform(range(len(toks) - ${SpanW - 1}),
+         |  SELECT doc_id, unnest(list_transform(range(len(ths) - ${SpanW - 1}),
          |    i -> $whExpr)) AS wh
          |  FROM base),
          |dup AS (

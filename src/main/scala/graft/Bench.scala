@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,19 +46,50 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          // a failed run's time-to-failure must not become the min
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
+    // Load stamp: r4's driver bench ran on a contended box and
+    // inflated untouched queries up to 14x, making every perf claim
+    // unfalsifiable. Record 1-min system load at start/end plus the
+    // count of OTHER jvm processes so a polluted run is self-labeling.
+    def loadAvg: Double = math.round(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage * 10) / 10.0
+    def otherJvms: Int = {
+      val self = ProcessHandle.current().pid()
+      Option(new java.io.File("/proc").listFiles()).getOrElse(Array.empty)
+        .count { f =>
+          f.getName.forall(_.isDigit) && f.getName.toLong != self &&
+            (try {
+              val comm = Files.readString(Paths.get(s"/proc/${f.getName}/comm")).trim
+              comm == "java" || comm == "sbt"
+            } catch { case _: Throwable => false })
         }
+    }
+    val load0 = loadAvg; val jvms0 = otherJvms
+    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        // a failed run's time-to-failure must not become the min
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      (name, fn, (1 to 3).flatMap(_ => sample(name, fn)))
+    }
+    // Contention self-repair: a query whose samples spread >2.5x was
+    // measured under transient load (GC debris, a concurrent process)
+    // — take two more samples so the min reflects the plan, not the
+    // noise window. Spread, not an absolute threshold, so it needs no
+    // prior-round table and scales with sf.
+    val results = firstPass.map { case (name, fn, times) =>
+      val all =
+        if (times.nonEmpty && times.max / times.min > 2.5)
+          times ++ (1 to 2).flatMap(_ => sample(name, fn))
+        else times
+      (name, all)
     }
     // Per-query detail lines (full names) for humans reading the log.
     // The driver's artifact keeps only the LAST ~2000 chars of output,
@@ -67,15 +99,22 @@ object Bench {
     // full-name full-precision line (~4.5 KB) was truncated mid-JSON
     // and lost 35 queries from the artifact.
     def ms3(v: Double): Double = math.round(v * 1000) / 1000.0
-    results.foreach { case (k, v) =>
-      println(s"""{"query":"$k","sec":${ms3(v)}}""")
+    // Detail lines carry EVERY sample (the artifact tail only keeps the
+    // summary, but the driver log keeps these) so a disputed number is
+    // auditable: min far below max = contention during that window.
+    results.foreach { case (k, ts) =>
+      val v = if (ts.nonEmpty) ts.min else -1.0
+      println(s"""{"query":"$k","sec":${ms3(v)},"samples":[${ts.map(ms3).mkString(",")}]}""")
     }
-    val qs = results.map { case (k, v) =>
+    val mins = results.map { case (k, ts) => (k, if (ts.nonEmpty) ts.min else -1.0) }
+    val qs = mins.map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
+    val nRerun = results.count(_._2.size > 3)
     val line =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
+        s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"sf":"$sfDir"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
         "exceeds the driver's 2000-char tail capture — shorten it")

@@ -67,17 +67,25 @@ class Round4Spec extends SparkSpec {
     // sizes straddling n<buckets, n=buckets, n%buckets!=0; keys drawn
     // from a small domain so ties are dense and the custkey-style
     // tiebreak carries the ordering
-    for (n <- Seq(1, 3, 5, 7, 64, 997); cuts <- Seq(3, 63)) {
-      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(7)))
-      val df = rows.toDF("id", "key")
-      val expected = df.withColumn("t",
-          ntile(5).over(Window.orderBy(col("key"), col("id"))))
-        .select(col("id"), col("t"))
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      val got = operators.Rank.ntileExact(df, 5, "t", col("key"), Seq(col("id")), cuts)
-        .select(col("id"), col("t"))
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      assert(got === expected, s"n=$n cuts=$cuts")
+    // threshold 0 forces the range-bucket path (these frames would all
+    // take the local-sort fast path otherwise); default exercises the
+    // local path — both must be bit-identical to the ntile window
+    for (thr <- Seq("0", (1L << 20).toString)) {
+      spark.conf.set("spark.graft.ntile.localThreshold", thr)
+      try {
+        for (n <- Seq(1, 3, 5, 7, 64, 997); cuts <- Seq(3, 63)) {
+          val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(7)))
+          val df = rows.toDF("id", "key")
+          val expected = df.withColumn("t",
+              ntile(5).over(Window.orderBy(col("key"), col("id"))))
+            .select(col("id"), col("t"))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          val got = operators.Rank.ntileExact(df, 5, "t", col("key"), Seq(col("id")), cuts)
+            .select(col("id"), col("t"))
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          assert(got === expected, s"n=$n cuts=$cuts thr=$thr")
+        }
+      } finally spark.conf.unset("spark.graft.ntile.localThreshold")
     }
   }
 

@@ -88,9 +88,12 @@ object Round4b {
       val e = Tables.events(s, d).select(col("event_type"),
         expr("unix_micros(ts)").as("t"),
         floor(col("value") * lit(1000000.0)).cast("long").as("v"))
-        // integer division (div, not /): double division could
-        // misround exactly at an hour boundary
-        .withColumn("hr", expr("t div 3600000000"))
+        // FLOOR division on the integer domain: subtracting pmod makes
+        // t exactly divisible, so div is floor for any sign — plain
+        // `div` truncates toward zero and would disagree with the
+        // oracle's `//` (which floors) on pre-epoch timestamps; double
+        // division could misround exactly at an hour boundary
+        .withColumn("hr", expr("(t - pmod(t, 3600000000)) div 3600000000"))
       val hourly = e.groupBy(col("event_type"), col("hr"))
         .agg(count(lit(1)).as("n_h"), sum(col("v")).as("s_h"),
           sum(col("v").cast(dec) * col("v").cast(dec)).as("q_h"))
@@ -152,9 +155,13 @@ object Round4b {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("t"),
           floor(col("value") * lit(1000000.0)).cast("long").as("v_us"))
+      // one touch row per (user, microsecond): joinAsOf's last() pick
+      // among equal-tt rows and DuckDB ASOF's tie pick are BOTH
+      // unspecified, so same-instant touches must collapse to one
+      // deterministic winner (max type string) before either join
       val touches = ev.filter(col("event_type") =!= "purchase")
-        .select(col("user_id"), expr("unix_micros(ts)").as("tt"),
-          col("event_type").as("touch"))
+        .groupBy(col("user_id"), expr("unix_micros(ts)").as("tt"))
+        .agg(max(col("event_type")).as("touch"))
       AsOf.joinAsOf(purchases, touches, "user_id", "t", "tt", Seq("touch", "tt"))
         .withColumn("attributed",
           when(col("asof_tt").isNotNull &&
@@ -492,8 +499,9 @@ object Round4b {
          |    CAST(floor(value * 1000000.0) AS BIGINT) AS v_us
          |  FROM events WHERE event_type = 'purchase'),
          |tch AS (
-         |  SELECT user_id, epoch_us(ts) AS tt, event_type AS touch
-         |  FROM events WHERE event_type != 'purchase'),
+         |  SELECT user_id, epoch_us(ts) AS tt, MAX(event_type) AS touch
+         |  FROM events WHERE event_type != 'purchase'
+         |  GROUP BY user_id, epoch_us(ts)),
          |j AS (
          |  SELECT p.t, p.v_us, r.tt AS asof_tt, r.touch AS asof_touch
          |  FROM p ASOF LEFT JOIN tch r

@@ -40,7 +40,14 @@ object Sinks {
     * Write protocol: stage → swap. The merged snapshot writes to a
     * staging directory first and moves into place only after success,
     * so a mid-write failure leaves the previous snapshot intact
-    * (parquet directory writes are not atomic; the rename is).
+    * (parquet directory writes are not atomic; the rename is). Every
+    * rename's BOOLEAN result is checked — Hadoop FileSystem.rename
+    * reports most failures by returning false, not throwing — and a
+    * failed swap restores the backup before propagating, so there is
+    * no code path that deletes the only surviving snapshot. A crash
+    * between the two renames (target moved to backup, staging not yet
+    * moved in) is healed on the next call (and by [[readStore]]):
+    * the backup is restored before merging.
     * State is O(live keys) — the same bound the compacted topic
     * itself holds.
     */
@@ -51,9 +58,18 @@ object Sinks {
       versionCol: String,
       deletedCol: String = "deleted"): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    // FS from the path's scheme, not the default-scheme FS — the
+    // store may be s3a:///abfs:// while defaultFS is file:// or hdfs://
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "._prev")
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"rename $from -> $to returned false")
+    // heal a crash between the swap renames: no live target but a
+    // backup means the previous call died mid-swap — the backup IS
+    // the last complete snapshot, so restore it before merging
+    if (!fs.exists(target) && fs.exists(backup)) mv(backup, target)
     val existing =
       if (fs.exists(target)) spark.read.parquet(path)
       else spark.createDataFrame(
@@ -71,21 +87,33 @@ object Sinks {
     val staging = new org.apache.hadoop.fs.Path(path + "._staging")
     fs.delete(staging, true)
     merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val backup = new org.apache.hadoop.fs.Path(path + "._prev")
     fs.delete(backup, true)
-    if (fs.exists(target)) fs.rename(target, backup)
-    fs.rename(staging, target)
+    val hadTarget = fs.exists(target)
+    if (hadTarget) mv(target, backup)
+    try mv(staging, target)
+    catch { case e: Throwable =>
+      // the old snapshot is sitting in backup — put it back before
+      // propagating so readers never observe an empty store
+      if (hadTarget) mv(backup, target)
+      throw e
+    }
+    // only now is the new snapshot live; dropping the backup is safe
     fs.delete(backup, true)
   }
 
   /** Read the compacted store (empty frame with `schema` if nothing
-    * has been written yet).
+    * has been written yet). A store that crashed between upsertByKey's
+    * swap renames — no live target, backup present — reads from the
+    * backup: that directory is the last COMPLETE snapshot, never a
+    * partial write (staging is a different path).
     */
   def readStore(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path))) spark.read.parquet(path)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(path + "._prev")
+    if (fs.exists(target)) spark.read.parquet(path)
+    else if (fs.exists(backup)) spark.read.parquet(backup.toString)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

@@ -235,10 +235,14 @@ object StreamJobs {
     *
     * Events are processed in timestamp order within each micro-batch
     * (the per-batch sort mirrors how ev27's RANGE window orders the
-    * batch world); cross-batch late data older than the state's newest
-    * timestamp is counted against the window like any other event —
-    * admission decisions are made in arrival order, as a live limiter
-    * must.
+    * batch world), and SAME-TIMESTAMP peers decide as one atomic
+    * group: a RANGE frame's CURRENT ROW bound includes peer rows, so
+    * k same-(user, t) events each see all k in their window — a
+    * sequential fold would give the k-th peer a different count than
+    * the batch frame. Cross-batch late data older than the state's
+    * newest timestamp is counted against the window like any other
+    * event — admission decisions are made in arrival order, as a live
+    * limiter must.
     *
     * NoTimeout like streamAsOf/streamCompact: state is O(limit) longs
     * per key ever seen, the bound an admission-control table holds
@@ -255,11 +259,22 @@ object StreamJobs {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[RateIn], state: GroupState[RateState]) =>
           var recent = state.getOption.map(_.recent).getOrElse(Seq.empty)
-          val out = rows.toSeq.sortBy(_.t).map { e =>
-            val live = recent.filter(_ > e.t - windowUs)
-            val throttled = live.size >= limit
-            recent = (live :+ e.t).takeRight(limit)
-            RateOut(user, e.event_type, e.t, throttled)
+          // runs of equal timestamps, in ascending t order (foldRight
+          // builds the runs without reversing)
+          val runs = rows.toSeq.sortBy(_.t)
+            .foldRight(List.empty[List[RateIn]]) { (e, acc) =>
+              acc match {
+                case (h :: t2) :: rest if h.t == e.t => (e :: h :: t2) :: rest
+                case _ => List(e) :: acc
+              }
+            }
+          val out = runs.flatMap { peers =>
+            val t = peers.head.t
+            val live = recent.filter(_ > t - windowUs)
+            // the RANGE frame holds live + ALL k peers for each peer
+            val throttled = live.size + peers.size > limit
+            recent = (live ++ peers.map(_.t)).takeRight(limit)
+            peers.map(e => RateOut(user, e.event_type, e.t, throttled))
           }
           state.update(RateState(recent))
           out.iterator

@@ -206,24 +206,29 @@ class Round3Spec extends SparkSpec {
     assert(total === graft.core.Tables.events(spark, sf).count())
   }
 
-  test("q32 stratified sample rates track the per-stratum allocation") {
-    val rows = SparkEntry.queries("q32_stratified_sample")(spark, sf).collect()
-    // ~30 customers/stratum at this SF: 5% binomial wobble legitimately
-    // hits zero (AUTOMOBILE/HOUSEHOLD do), so per-stratum bounds can't
-    // be tight here. What must hold even at tiny SF: rates stay sane,
-    // something is sampled, and the 2× allocation is visible — the
-    // oversampled stratum strictly out-samples every other (a sampler
-    // ignoring the per-stratum rate, or keeping nothing, fails).
-    rows.foreach { r =>
-      val got = r.getAs[Double]("sample_rate")
-      assert(got >= 0.0 && got <= 0.2, s"${r.getString(0)}: rate $got")
+  test("q32 stratified sample equals the exact deterministic-hash recompute") {
+    // membership is a pure md5 hash of the key (no RNG), so the spec
+    // can demand EXACT per-stratum counts, not statistical bounds —
+    // this replaces the former rate-sanity check that binomial wobble
+    // forced to be loose at this SF
+    val custs = graft.core.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def h(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
-    val byS = rows.map(r =>
-      r.getString(0) -> (r.getAs[Long]("n_sampled"), r.getAs[Double]("sample_rate"))).toMap
-    assert(byS("BUILDING")._1 > 0)
-    byS.filter(_._1 != "BUILDING").values.foreach { case (_, rate) =>
-      assert(byS("BUILDING")._2 > rate, s"BUILDING ${byS("BUILDING")._2} !> $rate")
+    val expected = custs.groupBy(_._2).map { case (seg, cs) =>
+      val rate = if (seg == "BUILDING") 10 else 5
+      val sampled = cs.count(c => h(c._1.toString) % 100 < rate).toLong
+      seg -> (cs.size.toLong, sampled,
+        math.floor(sampled.toDouble / cs.size * 10000) / 10000)
     }
+    val got = SparkEntry.queries("q32_stratified_sample")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_sampled"), r.getAs[Double]("sample_rate"))).toMap
+    assert(got === expected)
   }
 
   test("streaming CDC compaction converges to the batch compacted state") {

@@ -71,6 +71,33 @@ class SinksSpec extends SparkSpec {
     assert(out === Set((1L, "back")))
   }
 
+  test("upsertByKey and readStore heal a crash between the swap renames") {
+    val path = tmpDir("sink_crash")
+    val b1 = Seq((1L, 1L, "a", false), (2L, 1L, "b", false))
+      .toDF("k", "ver", "v", "deleted")
+    Sinks.upsertByKey(b1, path, "k", "ver")
+    // simulate dying between rename(target, backup) and
+    // rename(staging, target): the live target becomes the backup and
+    // nothing replaces it
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "._prev")))
+    // readStore falls back to the backup snapshot instead of an empty frame
+    val viaRead = Sinks.readStore(spark, path, b1.schema)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaRead === Set((1L, "a"), (2L, "b")))
+    // the next upsert restores the backup FIRST, so no prior key drops
+    val b2 = Seq((3L, 1L, "c", false)).toDF("k", "ver", "v", "deleted")
+    Sinks.upsertByKey(b2, path, "k", "ver")
+    val out = spark.read.parquet(path)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "._prev")))
+  }
+
   test("upsertByKey drives the streaming CDC path via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmpDir("sink_stream")

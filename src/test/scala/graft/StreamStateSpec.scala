@@ -123,6 +123,32 @@ class StreamStateSpec extends SparkSpec {
     assert(rows.head.getAs[String]("event_key") === "u1")
   }
 
+  test("rate limiter decides same-microsecond peers as one group, like the RANGE frame") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamJobs.RateIn
+    val in = MemoryStream[RateIn]
+    val q = StreamJobs.rateLimit(in.toDS(), limit = 2).writeStream
+      .format("memory").queryName("rate_tie_out")
+      .outputMode(OutputMode.Append).start()
+    // user 1: three events at the SAME t → each RANGE frame holds all
+    // three (cnt=3 > 2) → ALL throttle, not just the arrival-order tail.
+    // user 2: two peers (cnt=2 ≤ 2) → both admitted.
+    // user 1's later lone event: window holds 3 + itself → throttled.
+    in.addData(
+      RateIn(1L, "a", 1000000L), RateIn(1L, "b", 1000000L), RateIn(1L, "c", 1000000L),
+      RateIn(2L, "a", 1000000L), RateIn(2L, "b", 1000000L))
+    q.processAllAvailable()
+    in.addData(RateIn(1L, "d", 2000000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rate_tie_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        r.getAs[Boolean]("throttled")).toMap
+    assert(got((1L, "a")) && got((1L, "b")) && got((1L, "c")), s"user-1 peers: $got")
+    assert(!got((2L, "a")) && !got((2L, "b")), s"user-2 peers: $got")
+    assert(got((1L, "d")), s"post-tie event: $got")
+  }
+
   test("streaming rate limiter matches ev27's batch census on ordered batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamJobs.RateIn

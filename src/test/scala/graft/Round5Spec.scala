@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Round5
+
+/** Round-5 operators + the ensure-topic admin contract + the stats
+  * listener.
+  */
+class Round5Spec extends SparkSpec {
+
+  // --- ev29: degraded-mode enrichment ------------------------------
+
+  test("ev29 keeps every event: ok + fallback partition the input") {
+    val out = Round5.queries("ev29_enrich_fallback")(spark, sf)
+      .groupBy(col("enrich_status")).agg(sum(col("n_events")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(out.values.sum === total, "degraded mode must never drop events")
+    assert(out.getOrElse("fallback", 0L) > 0, "the miss side must be exercised")
+    assert(out.getOrElse("ok", 0L) > 0, "the hit side must be exercised")
+  }
+
+  test("ev29 fallback rows carry the default metadata shape") {
+    val rows = Round5.queries("ev29_enrich_fallback")(spark, sf).collect()
+    val (fb, ok) = rows.partition(_.getString(0) == "fallback")
+    assert(fb.forall(_.getString(1) == "UNKNOWN"),
+      "every fallback row must carry the default segment")
+    assert(ok.forall(_.getString(1) != "UNKNOWN"),
+      "no ok row may carry the default segment")
+  }
+
+  test("ev29 fallback census matches a direct recompute of the miss rule") {
+    // lookup "fails" exactly when user_id % LookupFailMod == 0 or the
+    // user has no dim row at all — recompute from the base tables
+    val ev = graft.core.Tables.events(spark, sf)
+    val custKeys = graft.core.Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val expectedFallback = ev.select(col("user_id")).collect().count { r =>
+      val u = r.getLong(0)
+      u % Round5.LookupFailMod == 0 || !custKeys.contains(u)
+    }
+    val got = Round5.queries("ev29_enrich_fallback")(spark, sf)
+      .filter(col("enrich_status") === "fallback")
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(got === expectedFallback)
+  }
+
+  // --- KafkaAdmin: ensure_topic contract (events.rs:23-74) ---------
+
+  test("ensureTopic is a no-op when force_create is off") {
+    // events.rs:30-32 — the gate runs BEFORE any client construction,
+    // so this must succeed with no kafka-clients on the classpath
+    val props = new java.util.Properties()
+    props.setProperty("bootstrap.servers", "broker:9092")
+    assert(graft.streaming.KafkaAdmin.ensureTopic(
+      props, "near.events.all", 3, 1.toShort, forceCreate = false)
+      === graft.streaming.KafkaAdmin.SkippedForceCreateOff)
+  }
+
+  test("ensureTopic reaches exactly the kafka-clients lookup without the jar") {
+    // The container has no kafka-clients: the FURTHEST the admin flow
+    // can go is the AdminClient class lookup. Everything before it
+    // (force_create gate, property plumbing) is proven by arriving
+    // there; on a cluster the same bytes run the real flow.
+    val props = new java.util.Properties()
+    props.setProperty("bootstrap.servers", "broker:9092")
+    val e = intercept[ClassNotFoundException] {
+      graft.streaming.KafkaAdmin.ensureTopic(props, "near.events.all", 3, 1.toShort)
+    }
+    assert(e.getMessage.contains("org.apache.kafka.clients.admin.AdminClient"))
+  }
+
+  test("ensureTopic wires partition/replication/force from NesConfig") {
+    val cfg = graft.streaming.NesConfig.fromProperties(Map(
+      "kafka.bootstrap.servers" -> "b:9092",
+      "new_topic_partitions" -> "6",
+      "new_topic_replication" -> "3",
+      "force_create_new_topic" -> "false"))
+    // force off → config-shaped call short-circuits like the reference
+    assert(graft.streaming.KafkaAdmin.ensureTopic(cfg, "t")
+      === graft.streaming.KafkaAdmin.SkippedForceCreateOff)
+    // force on → proceeds to the client boundary with the config's props
+    intercept[ClassNotFoundException] {
+      graft.streaming.KafkaAdmin.ensureTopic(
+        cfg.copy(forceCreateNewTopic = true), "t")
+    }
+  }
+
+  // --- PipelineStats: the stats.rs logger analog -------------------
+
+  test("stats listener counts completed executions and renders the stats line") {
+    val l = graft.streaming.PipelineStats.register(spark)
+    try {
+      val before = l.snapshot()
+      graft.core.Tables.nation(spark, sf).groupBy(col("n_regionkey")).count().collect()
+      // QueryExecutionListener callbacks ride the listener bus — poll
+      val deadline = System.currentTimeMillis() + 30000
+      while (l.snapshot().done == before.done && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val after = l.snapshot()
+      assert(after.done > before.done, "completed execution not counted")
+      assert(after.failed === before.failed)
+      val line = after.statsLine(before, last = "q")
+      assert(line.startsWith("# q | Blocks processing: "), line)
+      assert(line.contains(s"Blocks done: ${after.done}"), line)
+      assert(line.contains("b/s"), line)
+    } finally graft.streaming.PipelineStats.unregister(l)
+  }
+
+  test("stats listener counts failures on the failure path") {
+    val l = graft.streaming.PipelineStats.register(spark)
+    try {
+      val before = l.snapshot()
+      // must fail at RUNTIME (inside the tracked execution) — an
+      // analysis-time error never reaches the listener
+      intercept[Exception] {
+        spark.range(1).selectExpr("assert_true(id > 0)").collect()
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (l.snapshot().failed == before.failed && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(l.snapshot().failed > before.failed)
+    } finally graft.streaming.PipelineStats.unregister(l)
+  }
+}

@@ -244,11 +244,23 @@ object Round4b {
           x => x.getField("h")).as("oshs"))
         .withColumn("pfx_len",
           (col("n") - ceil(col("n") * lit(ContainT)) + 1).cast("int")))
-      val aPfx = ordered.select(col("doc_id").as("doc_a"),
-        explode(slice(col("oshs"), lit(1), col("pfx_len"))).as("h"))
-      val bAll = ordered.select(col("doc_id").as("doc_b"), explode(col("oshs")).as("h"))
+      val aPfx = ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+        posexplode(slice(col("oshs"), lit(1), col("pfx_len"))))
+        .withColumnRenamed("col", "h").withColumnRenamed("pos", "ia")
+      val bAll = ordered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+        posexplode(col("oshs")))
+        .withColumnRenamed("col", "h").withColumnRenamed("pos", "jb")
       val cand = aPfx.join(bAll, Seq("h"))
         .filter(col("doc_a") =!= col("doc_b"))
+        // position filter, containment form: every common element sits
+        // at or after the FIRST shared one in both DF-ordered
+        // signatures, so a match at 0-based (ia, jb) bounds the
+        // overlap by min(n_a-ia, n_b-jb); containment >= t needs
+        // overlap >= ceil(t*n_a) — (4*n_a+4) div 5 exactly at t=0.8.
+        // OR over a pair's matches (the distinct) is the PPJoin rule,
+        // so recall is untouched; the all-pairs oracle re-proves it.
+        .filter(least(col("n_a") - col("ia"), col("n_b") - col("jb"))
+          >= expr("(4 * n_a + 4) div 5"))
         .select(col("doc_a"), col("doc_b")).distinct()
       // verify rejoins the BARRIERED ordered frame (same element sets,
       // DF order — intersection cardinality is order-free), so the

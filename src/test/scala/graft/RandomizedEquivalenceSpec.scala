@@ -168,11 +168,14 @@ class RandomizedEquivalenceSpec extends SparkSpec {
         t += (if (rnd.nextInt(10) == 0) windowUs + rnd.nextInt(20) else rnd.nextInt(3))
         RateIn(rnd.nextInt(5).toLong, "t", t)
       }
+      // the RANGE-frame definition (ev27's batch window): every event
+      // counts ALL same-user events in (t-window, t] INCLUDING itself
+      // and its same-timestamp peers, so tied peers decide as one
+      // group — the operator's documented tie semantics
       val naive = evs.groupBy(_.user_id).toSeq.flatMap { case (_, es) =>
-        val sorted = es.sortBy(_.t)
-        sorted.zipWithIndex.map { case (e, i) =>
-          val inWin = sorted.take(i).count(o => o.t > e.t - windowUs)
-          (e.user_id, e.t, inWin >= limit)
+        es.map { e =>
+          val cnt = es.count(o => o.t > e.t - windowUs && o.t <= e.t)
+          (e.user_id, e.t, cnt > limit)
         }
       }.groupBy(identity).map { case (k, o) => k -> o.size }
       val got = graft.streaming.StreamJobs

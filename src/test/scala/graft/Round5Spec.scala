@@ -45,6 +45,51 @@ class Round5Spec extends SparkSpec {
     assert(got === expectedFallback)
   }
 
+  // --- dd17: LSH occupancy audit -----------------------------------
+
+  test("dd17 accounts every doc in every band and pairs match occupancy math") {
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    val rows = Round5.queries("dd17_lsh_occupancy")(spark, sf).collect()
+    assert(rows.length === 4, "one row per band")
+    rows.foreach { r =>
+      assert(r.getLong(2) === nDocs, s"band ${r.getLong(0)} must hold all docs")
+      assert(r.getLong(1) <= nDocs)
+      assert(r.getLong(3) >= 1L)
+    }
+  }
+
+  test("dd17 candidate-pair total equals dd07's pre-distinct join volume") {
+    // Σ c·(c−1)/2 over buckets IS the number of (doc_a < doc_b) band
+    // matches the dd07 self-join generates — the audit must predict
+    // the join's true cost, not an approximation of it
+    val audit = Round5.queries("dd17_lsh_occupancy")(spark, sf)
+      .agg(sum(col("n_cand_pairs"))).collect()(0).getLong(0)
+    // recompute directly: per (band,bval) occupancy from dd04's hashes
+    val direct = graft.operators.Dedup.queries("dd04_simhash")(spark, sf)
+      .select(col("doc_id"), posexplode(array((0 until graft.operators.Dedup.SimhashBands).map(b =>
+        shiftright(col("simhash"), b * graft.operators.Dedup.SimhashBandBits)
+          .bitwiseAND(graft.operators.Dedup.SimhashBandMask)): _*)))
+      .groupBy(col("pos"), col("col")).agg(count(lit(1)).as("c"))
+      .agg(sum(expr("(c * (c - 1)) div 2"))).collect()(0).getLong(0)
+    assert(audit === direct)
+  }
+
+  // --- q37: key-skew profile ---------------------------------------
+
+  test("q37 skew profile bounds hold and fractions are consistent") {
+    val rows = Round5.queries("q37_key_skew")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nKeys, nRows, maxRows, top1) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(maxRows <= top1, "top-1% slice includes the heaviest key")
+      assert(top1 <= nRows)
+      assert(nKeys <= nRows)
+      assert(r.getDouble(5) <= r.getDouble(6) + 1e-9,
+        "max_frac cannot exceed top1pct_frac")
+    }
+  }
+
   // --- KafkaAdmin: ensure_topic contract (events.rs:23-74) ---------
 
   test("ensureTopic is a no-op when force_create is off") {

@@ -13,10 +13,11 @@ object PlanDump {
     // similarity broadcast, text two-level reduction, rolling windows
     "q02_filter_project", "q03_revenue_by_nation", "q33_rfm_segments",
     "q34_anomaly_zscore", "q35_inter_arrival", "q36_last_touch",
+    "q37_key_skew",
     "ev13_pipeline_e2e", "ev15_asof_enrich", "ev26_inflight_gauge",
-    "ev27_rate_limit",
-    "dd03_minhash_lsh", "dd05_embed_cosine", "dd15_containment",
-    "dd16_source_overlap",
+    "ev27_rate_limit", "ev29_enrich_fallback",
+    "dd03_minhash_lsh", "dd05_embed_cosine", "dd08_jaccard_prefix",
+    "dd15_containment", "dd16_source_overlap", "dd17_lsh_occupancy",
     "ss03_ann_ivf", "ss09_kmeans_iterate", "ss10_scalar_quant",
     "tx08_winnowing", "tx14_ttr_diversity", "tx16_gram_dup_rate",
     "pk01_token_packing", "mm06_payload_shards")

@@ -157,6 +157,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("BroadcastExchange"), s)
   }
 
+  test("ev29 enriches via a broadcast LEFT join — misses survive, dim never shuffles facts") {
+    val s = planString("ev29_enrich_fallback")
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftOuter"), s)
+  }
+
+  test("dd17 occupancy audit is pure aggregation — no join anywhere in the plan") {
+    val s = planString("dd17_lsh_occupancy")
+    assert(!s.contains("Join"), s)
+  }
+
+  test("q37 skew windows are partitioned by event_type over the keys-sized count table") {
+    val s = planString("q37_key_skew")
+    assert(s.contains("windowspecdefinition(event_type"), s)
+  }
+
   test("q34/ev27 rolling windows are partitioned by their key, never single-partition") {
     val q = planString("q34_anomaly_zscore")
     assert(q.contains("windowspecdefinition(event_type"), q)

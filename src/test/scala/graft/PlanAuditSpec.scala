@@ -199,7 +199,10 @@ class PlanAuditSpec extends SparkSpec {
       // ss09 broadcasts the 1-row packed-centroids aggregate
       "ss09_kmeans_iterate",
       // ss10 broadcasts the 1-row packed per-dim [min,max] aggregate
-      "ss10_scalar_quant")
+      "ss10_scalar_quant",
+      // ss11 broadcasts the single query row (like ss08) and a 3-row
+      // nprobe frame (non-equi qrank <= nprobe against a constant)
+      "ss11_ivf_nprobe_eval")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

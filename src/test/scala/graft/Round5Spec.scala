@@ -74,6 +74,21 @@ class Round5Spec extends SparkSpec {
     assert(audit === direct)
   }
 
+  // --- ss11: IVF nprobe-recall curve -------------------------------
+
+  test("ss11 recall and candidate volume are monotone in nprobe") {
+    val rows = Round5.queries("ss11_ivf_nprobe_eval")(spark, sf)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val cands = rows.map(_.getLong(1))
+    val recalls = rows.map(_.getDouble(4))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      "probing more cells cannot shrink the candidate set")
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b + 1e-9 },
+      "recall@10 must be non-decreasing in nprobe")
+    rows.foreach(r => assert(r.getLong(2) === 10, "truth is always top-10"))
+  }
+
   // --- q37: key-skew profile ---------------------------------------
 
   test("q37 skew profile bounds hold and fractions are consistent") {

@@ -178,4 +178,70 @@ class StreamStateSpec extends SparkSpec {
     assert(streamed === batch)
     assert(ev.nonEmpty)
   }
+
+  test("streaming near-dup equals the batch banded join when buckets fit state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamNearDup
+    import graft.streaming.StreamNearDup.DocSig
+    // random 60-bit signatures with planted near-dups: every 5th doc
+    // is a ≤3-bit mutation of an earlier one
+    val rnd = new scala.util.Random(11)
+    val sigs = scala.collection.mutable.ArrayBuffer[Long]()
+    (0 until 300).foreach { i =>
+      sigs += (if (i % 5 == 0 || sigs.isEmpty) rnd.nextLong() & ((1L << 60) - 1)
+        else {
+          var s = sigs(rnd.nextInt(sigs.length))
+          (0 until rnd.nextInt(4)).foreach(_ => s ^= 1L << rnd.nextInt(60))
+          s
+        })
+    }
+    val docs = sigs.zipWithIndex.map { case (s, i) => DocSig(i.toLong, i.toLong, s) }
+    val (batch1, batch2) = docs.splitAt(150)
+    val in = MemoryStream[DocSig]
+    val q = StreamNearDup.nearDup(in.toDS(), maxPerBucket = 1000).writeStream
+      .format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append).start()
+    in.addData(batch1.toSeq); q.processAllAvailable()
+    in.addData(batch2.toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("neardup_out")
+      .select(col("doc_id"), col("dup_of")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch ground truth: ordered pairs sharing >= 1 band at hamming <= 3
+    def bands(s: Long): Seq[Long] = (0 until graft.operators.Dedup.SimhashBands)
+      .map(b => (b.toLong << 32) |
+        ((s >> (b * graft.operators.Dedup.SimhashBandBits)) & graft.operators.Dedup.SimhashBandMask))
+    val expected = (for {
+      j <- docs.indices; i <- 0 until j
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 3
+      if bands(sigs(i)).toSet.intersect(bands(sigs(j)).toSet).nonEmpty
+    } yield (j.toLong, i.toLong)).toSet
+    assert(streamed === expected)
+    assert(expected.nonEmpty, "planted near-dups must produce pairs")
+    // pigeonhole: at hamming <= 3 the band share is guaranteed, so the
+    // banded ground truth IS the plain hamming ground truth
+    val plain = (for {
+      j <- docs.indices; i <- 0 until j
+      if java.lang.Long.bitCount(sigs(i) ^ sigs(j)) <= 3
+    } yield (j.toLong, i.toLong)).toSet
+    assert(expected === plain)
+  }
+
+  test("near-dup bucket state keeps the newest maxPerBucket signatures only") {
+    import graft.streaming.StreamNearDup
+    import graft.streaming.StreamNearDup.DocSig
+    import spark.implicits._
+    // 8 identical signatures through one bucket with maxPerBucket=2:
+    // each arrival may only match the 2 newest predecessors
+    val docs = (0 until 8).map(i => DocSig(i.toLong, i.toLong, 0x123456789ABCDL))
+    val hitsDf = StreamNearDup.nearDup(docs.toDS(), maxPerBucket = 2)
+    val perDoc = hitsDf.select(col("doc_id"), col("dup_of")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    (2 until 8).foreach { i =>
+      assert(perDoc(i.toLong) === Set(i - 1L, i - 2L),
+        s"doc $i must match exactly the 2 newest predecessors")
+    }
+    assert(perDoc(1L) === Set(0L))
+  }
 }

@@ -102,4 +102,52 @@ object PipelineStats {
   private val sparkListeners =
     new java.util.concurrent.ConcurrentHashMap[
       Listener, (SparkSession, org.apache.spark.scheduler.SparkListener)]()
+
+  /** The CONTINUOUS half of the stats loop: the reference's logger
+    * reports per-interval progress of an always-on pipeline, which on
+    * Spark is a streaming query's micro-batch progress events. Counts
+    * batches (the "block" unit of a streaming run), input rows, and
+    * the engine-reported processing rate; active = queries started
+    * minus terminated (the in-flight gauge for streams).
+    */
+  final class StreamListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    private val nBatches = new AtomicLong(0)
+    private val nRows = new AtomicLong(0)
+    private val nActive = new AtomicLong(0)
+    private val lastRate = new AtomicReference[java.lang.Double](0.0)
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      nActive.incrementAndGet()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      nBatches.incrementAndGet()
+      nRows.addAndGet(e.progress.numInputRows)
+      val r = e.progress.processedRowsPerSecond
+      if (!r.isNaN) lastRate.set(r)
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      nActive.decrementAndGet()
+
+    def snapshot(): Snapshot = Snapshot(
+      nBatches.get, 0, nActive.get, nRows.get,
+      0, System.currentTimeMillis())
+    def rowsPerSec: Double = lastRate.get
+  }
+
+  /** Register the streaming-progress listener; remove with
+    * [[unregisterStream]].
+    */
+  def registerStream(spark: SparkSession): StreamListener = {
+    val l = new StreamListener
+    spark.streams.addListener(l)
+    streamSessions.put(l, spark)
+    l
+  }
+
+  def unregisterStream(l: StreamListener): Unit =
+    Option(streamSessions.remove(l)).foreach(_.streams.removeListener(l))
+
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[StreamListener, SparkSession]()
 }

@@ -167,6 +167,27 @@ class Round5Spec extends SparkSpec {
     } finally graft.streaming.PipelineStats.unregister(l)
   }
 
+  test("streaming stats listener counts micro-batches, rows and active queries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val l = graft.streaming.PipelineStats.registerStream(spark)
+    try {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      val q = in.toDS().writeStream.format("memory").queryName("graft_stats_probe")
+        .outputMode("append").start()
+      in.addData(1L, 2L, 3L); q.processAllAvailable()
+      in.addData(4L); q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while ((l.snapshot().rowsOut < 4 || l.snapshot().inFlight != 0) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val snap = l.snapshot()
+      assert(snap.done >= 2, "at least one micro-batch per addData round")
+      assert(snap.rowsOut === 4, "all input rows counted")
+      assert(snap.inFlight === 0, "terminated query leaves the active gauge")
+    } finally graft.streaming.PipelineStats.unregisterStream(l)
+  }
+
   test("stats listener counts failures on the failure path") {
     val l = graft.streaming.PipelineStats.register(spark)
     try {

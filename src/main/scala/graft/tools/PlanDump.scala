@@ -19,8 +19,11 @@ object PlanDump {
     "dd03_minhash_lsh", "dd05_embed_cosine", "dd08_jaccard_prefix",
     "dd15_containment", "dd16_source_overlap", "dd17_lsh_occupancy",
     "ss03_ann_ivf", "ss09_kmeans_iterate", "ss10_scalar_quant",
+    "ss12_pq_quantize",
     "tx08_winnowing", "tx14_ttr_diversity", "tx16_gram_dup_rate",
-    "pk01_token_packing", "mm06_payload_shards")
+    "tx17_mix_plan",
+    "pk01_token_packing", "pk04_cdc_chunks", "q38_incr_merge",
+    "mm06_payload_shards")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

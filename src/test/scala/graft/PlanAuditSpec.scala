@@ -172,10 +172,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(s.contains("windowspecdefinition(event_type"), s)
   }
 
-  test("pk04 CDC chunking is a pure per-row pipeline — no join, no window") {
+  test("pk04 CDC chunking is join-free with ONE doc-keyed shuffle") {
     val s = planString("pk04_cdc_chunks")
     assert(!s.contains("Join"), s)
-    assert(!s.contains("windowspecdefinition"), s)
+    // lag + running start-flag sum share one (doc_id, pos) window …
+    assert(s.contains("windowspecdefinition(doc_id"), s)
+    assert(s.sliding("windowspecdefinition".length).count(_ == "windowspecdefinition") <= 2, s)
+    // … and the chunk rollup reuses the window's doc_id partitioning:
+    // the only hash exchange in the plan is the window's own
+    assert(s.sliding("hashpartitioning".length).count(_ == "hashpartitioning") === 1, s)
   }
 
   test("ss12 assigns codes via a broadcast-codebook equi-join on the subspace id") {
@@ -223,7 +228,12 @@ class PlanAuditSpec extends SparkSpec {
       // nprobe frame (non-equi qrank <= nprobe against a constant)
       "ss11_ivf_nprobe_eval",
       // tx17 broadcasts the 1-row fixed-point weight total
-      "tx17_mix_plan")
+      "tx17_mix_plan",
+      // q39 broadcasts the 1-row max-day bound that trims the
+      // phantom tail days
+      "q39_rolling_mau",
+      // ss13 broadcasts the single query row (like ss01/ss08)
+      "ss13_rank_fusion")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

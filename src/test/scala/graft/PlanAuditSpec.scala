@@ -203,6 +203,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(e.contains("windowspecdefinition(user_id"), e)
   }
 
+  test("tx19 rule filter is pure per-row compute — no join, no window") {
+    val s = planString("tx19_rule_filter")
+    assert(!s.contains("Join"), s)
+    assert(!s.contains("windowspecdefinition"), s)
+  }
+
+  test("ev30 lateness replay keys its per-event window by bucket and joins on it") {
+    val s = planString("ev30_watermark_fit")
+    // the per-event runmax is partitioned by the arrival bucket …
+    assert(s.contains("windowspecdefinition(bkt"), s)
+    // … and the prefix-max table comes back via a broadcast equi-join
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("mm07 candidates come from the phash band equi-join, never all pairs") {
+    val s = planString("mm07_phash_neardup")
+    assert(s.contains("band"), s)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("no operator plans an accidental cartesian / nested-loop join") {
     // intentional single-row broadcasts (query vector, global tip,
     // funnel scalars): a BroadcastNestedLoopJoin against ONE row is

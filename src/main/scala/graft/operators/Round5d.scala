@@ -227,7 +227,76 @@ object Round5d {
         .withColumn("is_dup", col("hamming") <= 3)
         .select(col("media_a"), col("media_b"), col("hamming"), col("is_dup"))
         .orderBy(col("media_a"), col("media_b"))
+    },
+
+    // --- dd18: fuzzy decontamination (MinHash vs the eval split) ------
+    // dd14 catches VERBATIM eval leakage (exact 13-gram hit); real
+    // decontamination also needs the fuzzy pass — a train doc that is
+    // a near-duplicate of an eval doc without sharing one unbroken
+    // 13-gram. Exactly the dd03 recipe pointed across the split:
+    // MinHash band hashes on both sides, candidates from the
+    // (band, band_hash) equi-join with the benchmark-sized eval side
+    // BROADCAST (dd14's posture), then an exact shingle-Jaccard
+    // verify of the shortlist — shs arrays rejoin from the barriered
+    // signature table for survivors only (the dd08 lesson: no array
+    // payloads through the candidate shuffle). Census per source:
+    // train docs, flagged docs, the worst Jaccard seen. Short docs
+    // stay in the denominator (dd14's rule) — only shingle
+    // GENERATION filters on length.
+    "dd18_fuzzy_contamination" -> { (s, d) =>
+      val sh = Dedup.barrier(Tables.documents(s, d)
+        .withColumn("toks", toks(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("is_eval",
+          graft.functions.Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
+        .select(col("doc_id"), col("is_eval"), Dedup.shingleHashes(col("toks")).as("shs")))
+      val sig = sh.select(
+        col("doc_id") +: col("is_eval") +: Dedup.minhashSigCols(col("shs")).zipWithIndex
+          .map { case (c, i) => c.as(s"sig_$i") }: _*)
+      val bandCols = (0 until Dedup.Bands).map(b =>
+        graft.functions.Hashing.hash64(concat_ws(",",
+          (0 until Dedup.RowsPerBand).map(r =>
+            col(s"sig_${b * Dedup.RowsPerBand + r}")): _*)))
+      val banded = Dedup.barrierAlso(sig
+        .select(col("doc_id"), col("is_eval"), posexplode(array(bandCols: _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_hash"))
+      val cand = banded.filter(!col("is_eval"))
+        .select(col("band"), col("band_hash"), col("doc_id").as("train_doc"))
+        .join(broadcast(banded.filter(col("is_eval"))
+          .select(col("band"), col("band_hash"), col("doc_id").as("eval_doc"))),
+          Seq("band", "band_hash"))
+        .select(col("train_doc"), col("eval_doc")).distinct()
+      val flagged = cand
+        .join(sh.select(col("doc_id").as("train_doc"), col("shs").as("shs_a")), Seq("train_doc"))
+        .join(broadcast(sh.filter(col("is_eval"))
+          .select(col("doc_id").as("eval_doc"), col("shs").as("shs_b"))), Seq("eval_doc"))
+        .withColumn("j_fx",
+          expr("(CAST(size(array_intersect(shs_a, shs_b)) AS BIGINT) * 1000000)" +
+            " div size(array_union(shs_a, shs_b))"))
+        .filter(col("j_fx") >= FuzzyJfx)
+        .groupBy(col("train_doc"))
+        .agg(max(col("j_fx")).as("best_j_fx"))
+      Tables.documents(s, d)
+        .withColumn("is_eval",
+          graft.functions.Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
+        .filter(!col("is_eval"))
+        .select(col("doc_id").as("train_doc"), col("source"))
+        .join(flagged, Seq("train_doc"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_train_docs"),
+          count(col("best_j_fx")).as("n_flagged"),
+          coalesce(max(col("best_j_fx")), lit(0L)).as("max_j_fx"),
+          Det.trunc4(count(col("best_j_fx")).cast("double") / count(lit(1)))
+            .as("contamination_rate"))
+        .orderBy(col("source"))
     })
+
+  /** dd18: flag a train doc when its best eval-doc Jaccard clears
+    * this fixed-point (·1e6) bar — the fuzzy analog of dd14's exact
+    * 13-gram hit.
+    */
+  val FuzzyJfx = 500000L
 
   private def duckToks = Dedup.duckToks
 
@@ -329,5 +398,55 @@ object Round5d {
          |    a.phash AS ph_a, b.phash AS ph_b
          |  FROM banded a JOIN banded b
          |    ON a.band = b.band AND a.bval = b.bval AND a.media_id < b.media_id)
-         |ORDER BY media_a, media_b""".stripMargin)
+         |ORDER BY media_a, media_b""".stripMargin,
+
+    "dd18_fuzzy_contamination" -> {
+      import graft.functions.Hashing
+      val sigExprs = (0 until Dedup.MinhashK).map(k =>
+        s"list_min(list_transform(shs, h -> (${Dedup.A(k)} * (h % 4294967296)" +
+          s" + ${Dedup.B(k)}) % ${Dedup.P})) AS sig_$k")
+        .mkString(",\n    ")
+      val bandRows = (0 until Dedup.Bands).map { b =>
+        val parts = (0 until Dedup.RowsPerBand)
+          .map(r => s"CAST(sig_${b * Dedup.RowsPerBand + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, is_eval, $b AS band, ${Hashing.duckHash64(s"($parts)")}" +
+          " AS band_hash FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH d AS (
+         |  SELECT doc_id, source, text,
+         |    ${Hashing.duckHash64("CAST(doc_id AS VARCHAR)")} % 20 = 0 AS is_eval
+         |  FROM documents),
+         |sh_t AS (
+         |  SELECT doc_id, is_eval, ${Dedup.duckShs} AS shs FROM d
+         |  WHERE len(${Dedup.duckToks}) >= 3),
+         |sigs AS (
+         |  SELECT doc_id, is_eval,
+         |    $sigExprs
+         |  FROM sh_t),
+         |banded AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+         |  FROM banded t JOIN banded e
+         |    ON t.band = e.band AND t.band_hash = e.band_hash
+         |  WHERE NOT t.is_eval AND e.is_eval),
+         |flagged AS (
+         |  SELECT train_doc, MAX(j_fx) AS best_j_fx FROM (
+         |    SELECT c.train_doc,
+         |      (len(list_intersect(a.shs, b.shs)) * 1000000)
+         |        // len(list_distinct(list_concat(a.shs, b.shs))) AS j_fx
+         |    FROM cand c
+         |    JOIN sh_t a ON a.doc_id = c.train_doc
+         |    JOIN sh_t b ON b.doc_id = c.eval_doc)
+         |  WHERE j_fx >= $FuzzyJfx GROUP BY train_doc)
+         |SELECT source, COUNT(*) AS n_train_docs,
+         |  CAST(COUNT(best_j_fx) AS BIGINT) AS n_flagged,
+         |  CAST(coalesce(MAX(best_j_fx), 0) AS BIGINT) AS max_j_fx,
+         |  ${Det.duckTrunc("COUNT(best_j_fx) * 1.0 / COUNT(*)", 4)}
+         |    AS contamination_rate
+         |FROM d LEFT JOIN flagged ON d.doc_id = flagged.train_doc
+         |WHERE NOT is_eval
+         |GROUP BY source ORDER BY source""".stripMargin
+    })
 }

@@ -103,6 +103,55 @@ class Round5dSpec extends SparkSpec {
     }
   }
 
+  // --- dd18: fuzzy decontamination ---------------------------------
+
+  test("dd18 census covers every train doc and rates stay consistent") {
+    val got = Round5d.queries("dd18_fuzzy_contamination")(spark, sf).collect()
+    val evalOf = Tables.documents(spark, sf)
+      .withColumn("is_eval",
+        graft.functions.Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
+    val nTrain = evalOf.filter(!col("is_eval")).count()
+    assert(got.map(_.getAs[Long]("n_train_docs")).sum === nTrain)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_train_docs"))
+      val mx = r.getAs[Long]("max_j_fx")
+      assert(mx >= 0L && mx <= 1000000L)
+      if (r.getAs[Long]("n_flagged") === 0L) assert(mx === 0L)
+      else assert(mx >= Round5d.FuzzyJfx)
+    }
+  }
+
+  test("dd18 is sound: every flagged doc truly clears the Jaccard bar (quadratic recount)") {
+    // truth: all cross-split shingle Jaccards, no banding (fine at spec scale)
+    val docs = Tables.documents(spark, sf)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("is_eval",
+        graft.functions.Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
+      .select(col("doc_id"), col("is_eval"),
+        graft.operators.Dedup.shingleHashes(col("toks")).as("shs"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("is_eval"),
+        r.getAs[collection.Seq[Long]]("shs").toSet))
+    val evalDocs = docs.filter(_._2)
+    val bestJ = docs.filterNot(_._2).map { case (id, _, shs) =>
+      val best = evalDocs.map { case (_, _, e) =>
+        if (shs.union(e).isEmpty) 0L
+        else shs.intersect(e).size.toLong * 1000000L / shs.union(e).size
+      }.maxOption.getOrElse(0L)
+      id -> best
+    }.toMap
+    val nTrueHits = bestJ.count(_._2 >= Round5d.FuzzyJfx)
+    val got = Round5d.queries("dd18_fuzzy_contamination")(spark, sf).collect()
+    val flagged = got.map(_.getAs[Long]("n_flagged")).sum
+    assert(flagged <= nTrueHits, "banding must never invent a hit")
+    // reported maxima must match a true pair's Jaccard
+    got.filter(_.getAs[Long]("n_flagged") > 0).foreach { r =>
+      assert(bestJ.values.toSet.contains(r.getAs[Long]("max_j_fx")),
+        s"max_j_fx ${r.getAs[Long]("max_j_fx")} matches no true pair")
+    }
+  }
+
   // --- mm07: payload phash near-dup candidates ---------------------
 
   test("mm07 stripePhash is deterministic and position-sensitive") {

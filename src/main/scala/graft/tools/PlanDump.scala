@@ -23,7 +23,11 @@ object PlanDump {
     "tx08_winnowing", "tx14_ttr_diversity", "tx16_gram_dup_rate",
     "tx17_mix_plan",
     "pk01_token_packing", "pk04_cdc_chunks", "q38_incr_merge",
-    "mm06_payload_shards")
+    "mm06_payload_shards",
+    // round-5 fourth wave: rule filter (pure narrow), watermark
+    // two-level replay, Lorenz tiling, phash banding, fuzzy decontam
+    "tx19_rule_filter", "ev30_watermark_fit", "q40_spend_lorenz",
+    "mm07_phash_neardup", "dd18_fuzzy_contamination")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

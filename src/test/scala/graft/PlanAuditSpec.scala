@@ -225,6 +225,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("q41 pairs co-partition on the order key and top-K is TakeOrdered") {
+    val s = planString("q41_basket_affinity")
+    assert(s.contains("TakeOrderedAndProject"), s)
+    // the pair self-join is an equi-join keyed on okey
+    assert(s.contains("okey"), s)
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("ev31 lag window partitions by user; pk06 is join-free aggregation") {
+    val e = planString("ev31_type_transitions")
+    assert(e.contains("windowspecdefinition(user_id"), e)
+    val p = planString("pk06_ctx_curve")
+    assert(!p.contains("Join"), p)
+  }
+
   test("no operator plans an accidental cartesian / nested-loop join") {
     // intentional single-row broadcasts (query vector, global tip,
     // funnel scalars): a BroadcastNestedLoopJoin against ONE row is
@@ -255,7 +270,9 @@ class PlanAuditSpec extends SparkSpec {
       // phantom tail days
       "q39_rolling_mau",
       // ss13 broadcasts the single query row (like ss01/ss08)
-      "ss13_rank_fusion")
+      "ss13_rank_fusion",
+      // q41 broadcasts the 1-row order-count aggregate for lift
+      "q41_basket_affinity")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -50,6 +50,30 @@ object Round5d {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** ev30's two-level watermark replay as a reusable transform:
+    * for (`id`, `t`) rows, the lateness of each row's `t` behind the
+    * running max over all rows with smaller-or-equal `id` — WITHOUT a
+    * global sort-window. Per-bucket max (hash agg) + prefix max over
+    * the keys-sized bucket table + within-bucket runmax partitioned
+    * by bucket. Exact: max over [0, id] = max(prefix of prior
+    * buckets, runmax within own bucket).
+    */
+  def latenessTwoLevel(df: DataFrame, id: String, t: String,
+      bucket: Long = EvBucket): DataFrame = {
+    val ev = df.select(col(id).as("__id"), col(t).as("__t"))
+      .withColumn("__bkt", expr(s"__id div $bucket"))
+    val pre = Window.orderBy(col("__bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val pref = ev.groupBy(col("__bkt")).agg(max(col("__t")).as("__bmax"))
+      .withColumn("__pmax", coalesce(max(col("__bmax")).over(pre), lit(Long.MinValue)))
+      .select(col("__bkt"), col("__pmax"))
+    val inb = Window.partitionBy(col("__bkt")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.join(broadcast(pref), Seq("__bkt"))
+      .withColumn("late",
+        greatest(max(col("__t")).over(inb), col("__pmax")) - col("__t"))
+      .select(col("__id").as(id), col("__t").as(t), col("late"))
+  }
+
   /** mm07's stripe phash over an opaque binary payload, computed in
     * the partition-batched decode path (the [[Multimodal.fakeDecode]]
     * posture: a real deployment swaps the stripe byte-sum for DCT
@@ -135,19 +159,10 @@ object Round5d {
     // bucket. The delay pricing is a bounded ×|delays| explode — same
     // bounded-fanout posture as q39's ×7.
     "ev30_watermark_fit" -> { (s, d) =>
-      val ev = Tables.events(s, d)
-        .select(col("event_id"), expr("unix_micros(ts)").as("t"))
-        .withColumn("bkt", expr(s"event_id div $EvBucket"))
-      val pre = Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-      val pref = ev.groupBy(col("bkt")).agg(max(col("t")).as("bmax"))
-        .withColumn("pmax", coalesce(max(col("bmax")).over(pre), lit(Long.MinValue)))
-        .select(col("bkt"), col("pmax"))
-      val inb = Window.partitionBy(col("bkt")).orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.join(broadcast(pref), Seq("bkt"))
-        .withColumn("late_us",
-          greatest(max(col("t")).over(inb), col("pmax")) - col("t"))
-        .select(col("late_us"), explode(typedLit(WmDelaysS)).as("delay_s"))
+      latenessTwoLevel(Tables.events(s, d)
+          .select(col("event_id"), expr("unix_micros(ts)").as("t")),
+          "event_id", "t")
+        .select(col("late").as("late_us"), explode(typedLit(WmDelaysS)).as("delay_s"))
         .groupBy(col("delay_s"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("late_us") > col("delay_s") * 1000000L, 1L).otherwise(0L))

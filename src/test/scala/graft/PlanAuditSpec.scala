@@ -212,7 +212,7 @@ class PlanAuditSpec extends SparkSpec {
   test("ev30 lateness replay keys its per-event window by bucket and joins on it") {
     val s = planString("ev30_watermark_fit")
     // the per-event runmax is partitioned by the arrival bucket …
-    assert(s.contains("windowspecdefinition(bkt"), s)
+    assert(s.contains("windowspecdefinition(__bkt"), s)
     // … and the prefix-max table comes back via a broadcast equi-join
     assert(s.contains("BroadcastHashJoin"), s)
     assert(!s.contains("CartesianProduct"), s)

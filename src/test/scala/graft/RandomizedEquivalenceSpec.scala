@@ -187,6 +187,28 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("two-level watermark replay equals the global runmax window on random arrivals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    // ids with gaps, timestamps wildly out of order, heavy ties —
+    // stresses bucket boundaries, the empty-first-prefix case, and
+    // greatest() against the Long.MinValue sentinel
+    val rows = (0 until 3000).map { i =>
+      (i.toLong * (1 + rnd.nextInt(3)), rnd.nextInt(50).toLong - 10L)
+    }.distinctBy(_._1)
+    val df = rows.toDF("id", "t")
+    val direct = df.withColumn("late",
+      max(col("t")).over(org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - col("t"))
+      .select(col("id"), col("late"))
+    // a bucket width that does NOT divide the id range evenly
+    val got = graft.operators.Round5d.latenessTwoLevel(df, "id", "t", bucket = 97L)
+      .select(col("id"), col("late"))
+    assert(got.except(direct).isEmpty && direct.except(got).isEmpty,
+      "two-level lateness must equal the single-window replay")
+  }
+
   test("dd15's capped-prefix candidates lose no containment pair on random overlapping docs") {
     // the prefix-filter bound: a pair with |A∩B|/|A| >= t always
     // shares an element in A's (|A| - ceil(t|A|) + 1)-prefix under ANY

@@ -31,12 +31,13 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ Similarity.queries2 ++
       Multimodal.queries ++ Multimodal.queries2 ++ Curation.queries ++
       Round3.queries ++ Round4.queries ++ Round4b.queries ++ Round5.queries ++
-      Round5b.queries ++ Round5c.queries ++ Round5d.queries ++ Round5e.queries
+      Round5b.queries ++ Round5c.queries ++ Round5d.queries ++ Round5e.queries ++
+      Round5f.queries
 
   def oracleSql: Map[String, String] =
     CoreAnalytics.oracles ++ EventPipeline.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Similarity.oracles2 ++
       Multimodal.oracles ++ Curation.oracles ++ Round3.oracles ++ Round4.oracles ++
       Round4b.oracles ++ Round5.oracles ++ Round5b.oracles ++ Round5c.oracles ++
-      Round5d.oracles ++ Round5e.oracles
+      Round5d.oracles ++ Round5e.oracles ++ Round5f.oracles
 }

@@ -76,20 +76,29 @@ object Similarity {
     */
   val IvfK = 8
 
+  /** The ss03 cell assignment, shared with ss14's balance audit so the
+    * two can never drift: every vector → nearest of the K first-vector
+    * centroids (one broadcast row set), argmax cosine, ties → lower
+    * c_id. At scale the returned `cell` is the IVF partition key.
+    */
+  private[graft] def assignCells(s: SparkSession, d: String): DataFrame = {
+    val e = withNorm(s, d)
+    val cents = e.filter(col("vec_id") < IvfK)
+      .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
+    // assign: argmax cosine over the K centroids (ties → lower c_id)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", graft.functions.Det.trunc4(
+        dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm"))))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("emb"), col("norm"), col("c_id").as("cell"))
+  }
+
   def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss03_ann_ivf" -> { (s, d) =>
-      val e = withNorm(s, d)
-      val cents = e.filter(col("vec_id") < IvfK)
-        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"), col("norm").as("c_norm"))
-      // assign: argmax cosine over the K centroids (ties → lower c_id)
-      val byVec = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("c_cos", graft.functions.Det.trunc4(
-          dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm"))))
-        .withColumn("rn", row_number().over(byVec))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("label"), col("emb"), col("norm"), col("c_id").as("cell"))
+      val assigned = assignCells(s, d)
       val q = assigned.filter(col("vec_id") === 0)
         .select(col("emb").as("q_emb"), col("norm").as("q_norm"), col("cell").as("q_cell"))
       assigned.filter(col("vec_id") =!= 0)
@@ -106,21 +115,27 @@ object Similarity {
   private val duckCos =
     "floor((list_sum(list_transform(range(len(%s)), i -> %s[i+1] * %s[i+1])) / (%s * %s)) * 10000) / 10000"
 
+  /** DuckDB CTE prefix mirroring [[assignCells]] (`WITH e, cents,
+    * assigned`), shared by the ss03 and ss14 oracles. */
+  private[graft] def duckAssignedCtes: String = {
+    val assignCos = duckCos.format("e.emb", "e.emb", "c.c_emb", "e.norm", "c.c_norm")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, emb, $duckNorm AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
+       |cents AS (
+       |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id < $IvfK),
+       |assigned AS (
+       |  SELECT vec_id, emb, norm, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.emb, e.norm, c.c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY $assignCos DESC, c.c_id) AS rn
+       |    FROM e, cents c) WHERE rn = 1)""".stripMargin
+  }
+
   def oracles2: Map[String, String] = Map(
     "ss03_ann_ivf" -> {
-      val assignCos = duckCos.format("e.emb", "e.emb", "c.c_emb", "e.norm", "c.c_norm")
       val queryCos = duckCos.format("emb", "emb", "q_emb", "norm", "q_norm")
-      s"""WITH e AS (
-         |  SELECT vec_id, label, emb, $duckNorm AS norm
-         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)),
-         |cents AS (
-         |  SELECT vec_id AS c_id, emb AS c_emb, norm AS c_norm FROM e WHERE vec_id < $IvfK),
-         |assigned AS (
-         |  SELECT vec_id, emb, norm, c_id AS cell FROM (
-         |    SELECT e.vec_id, e.emb, e.norm, c.c_id,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |        ORDER BY $assignCos DESC, c.c_id) AS rn
-         |    FROM e, cents c) WHERE rn = 1),
+      s"""$duckAssignedCtes,
          |q AS (SELECT emb AS q_emb, norm AS q_norm, cell AS q_cell
          |      FROM assigned WHERE vec_id = 0)
          |SELECT vec_id, cell, $queryCos AS cos_sim

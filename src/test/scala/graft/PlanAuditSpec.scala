@@ -240,6 +240,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("ev32 windows only the bucket table; q42 scans lineitem once") {
+    val e = planString("ev32_height_gaps")
+    // the fact stream folds to buckets in a hash aggregate FIRST; the
+    // (unavoidably global) lag window then runs on the buckets-sized
+    // table — so the window must sit ABOVE the aggregate in the tree
+    // (plan strings print root-first, parents before children)
+    assert(e.contains("Window") && e.contains("HashAggregate"), e)
+    assert(e.indexOf("Window") < e.indexOf("HashAggregate"), e)
+    val q = planString("q42_revenue_bridge")
+    // both periods come from ONE conditional-aggregation pass — a
+    // second lineitem scan would mean the periods self-joined
+    assert("Scan parquet .*lineitem".r.findAllIn(q).size === 1, q)
+    assert("BroadcastHashJoin".r.findAllIn(q).size >= 2, q)
+  }
+
   test("no operator plans an accidental cartesian / nested-loop join") {
     // intentional single-row broadcasts (query vector, global tip,
     // funnel scalars): a BroadcastNestedLoopJoin against ONE row is
@@ -272,7 +287,10 @@ class PlanAuditSpec extends SparkSpec {
       // ss13 broadcasts the single query row (like ss01/ss08)
       "ss13_rank_fusion",
       // q41 broadcasts the 1-row order-count aggregate for lift
-      "q41_basket_affinity")
+      "q41_basket_affinity",
+      // ss14 broadcasts the 1-row vector-count aggregate that turns
+      // occupancy into shares
+      "ss14_cell_balance")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -106,15 +106,21 @@ object Bench {
       val v = if (ts.nonEmpty) ts.min else -1.0
       println(s"""{"query":"$k","sec":${ms3(v)},"samples":[${ts.map(ms3).mkString(",")}]}""")
     }
+    // summary keeps 2-decimal seconds (10 ms grain — plenty at the
+    // 0.1–5 s per-query scale) so ~140 queries stay under the
+    // driver's 2000-char tail capture; full precision lives in the
+    // per-query detail lines above
+    def ms2(v: Double): Double = math.round(v * 100) / 100.0
     val mins = results.map { case (k, ts) => (k, if (ts.nonEmpty) ts.min else -1.0) }
     val qs = mins.map { case (k, v) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms3(v)
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms2(v)
     }.mkString("{", ",", "}")
     val total = if (mins.nonEmpty) mins.map(_._2).sum else 0.0
     val nRerun = results.count(_._2.size > 3)
+    val sfTag = sfDir.split('/').last
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
-        s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"sf":"$sfDir"}"""
+        s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"sf":"$sfTag"}"""
     if (line.length > 1900)
       System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
         "exceeds the driver's 2000-char tail capture — shorten it")

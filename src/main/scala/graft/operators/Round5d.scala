@@ -50,6 +50,29 @@ object Round5d {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
+  /** The tx19 C4/Gopher rule battery as a reusable per-document frame
+    * (doc columns preserved, flags + `keep` appended). Shared with
+    * tx20's curation-yield funnel so the two rule sets cannot drift.
+    * Pure narrow compute — no shuffle.
+    */
+  private[graft] def ruleFlags(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", toks(col("text")))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("sum_len", length(array_join(col("toks"), "")).cast("long"))
+      .withColumn("mwl_fx", expr("(sum_len * 10000) div n_words"))
+      .withColumn("alpha_words",
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("stop_hits",
+        size(filter(col("toks"),
+          t => array_contains(typedLit(StopWords), lower(t)))).cast("long"))
+      .withColumn("wc_ok", col("n_words") >= 20 && col("n_words") <= 1000)
+      .withColumn("mwl_ok", col("mwl_fx") >= 30000 && col("mwl_fx") <= 100000)
+      .withColumn("alpha_ok", col("alpha_words") * 10 >= col("n_words") * 8)
+      .withColumn("stop_ok", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("stop_ok"))
+
   /** ev30's two-level watermark replay as a reusable transform:
     * for (`id`, `t`) rows, the lateness of each row's `t` behind the
     * running max over all rows with smaller-or-equal `id` — WITHOUT a
@@ -125,22 +148,7 @@ object Round5d {
     // tolerance. Σ token length = length of the separator-free join,
     // which both engines compute identically.
     "tx19_rule_filter" -> { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("toks", toks(col("text")))
-        .withColumn("n_words", size(col("toks")).cast("long"))
-        .withColumn("sum_len", length(array_join(col("toks"), "")).cast("long"))
-        .withColumn("mwl_fx", expr("(sum_len * 10000) div n_words"))
-        .withColumn("alpha_words",
-          size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long"))
-        .withColumn("stop_hits",
-          size(filter(col("toks"),
-            t => array_contains(typedLit(StopWords), lower(t)))).cast("long"))
-        .withColumn("wc_ok", col("n_words") >= 20 && col("n_words") <= 1000)
-        .withColumn("mwl_ok", col("mwl_fx") >= 30000 && col("mwl_fx") <= 100000)
-        .withColumn("alpha_ok", col("alpha_words") * 10 >= col("n_words") * 8)
-        .withColumn("stop_ok", col("stop_hits") >= 2)
-        .withColumn("keep",
-          col("wc_ok") && col("mwl_ok") && col("alpha_ok") && col("stop_ok"))
+      ruleFlags(Tables.documents(s, d))
         .select(col("doc_id"), col("n_words"), col("mwl_fx"), col("alpha_words"),
           col("stop_hits"), col("wc_ok"), col("mwl_ok"), col("alpha_ok"),
           col("stop_ok"), col("keep"))
@@ -331,31 +339,44 @@ object Round5d {
        |  CROSS JOIN (SELECT unnest(range($PhashStripes)) AS s) st)
        |GROUP BY doc_id""".stripMargin
 
+  /** DuckDB CTE chain mirroring [[ruleFlags]]: `WITH t, f, flags`
+    * where `flags` has (doc_id, lang, source, n_words, mwl_fx,
+    * alpha_words, stop_hits, wc_ok, mwl_ok, alpha_ok, stop_ok, keep).
+    * Shared by the tx19 and tx20 oracles.
+    */
+  private[graft] def duckRuleFlagsCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, source, $duckToks AS toks FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(strlen(array_to_string(toks, '')) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+       |      AS BIGINT) AS alpha_words,
+       |    CAST(len(list_filter(toks, x -> list_contains(
+       |      [${StopWords.map(w => s"'$w'").mkString(", ")}], lower(x))))
+       |      AS BIGINT) AS stop_hits
+       |  FROM t),
+       |flags AS (
+       |  SELECT doc_id, lang, source, n_words,
+       |    (sum_len * 10000) // n_words AS mwl_fx,
+       |    alpha_words, stop_hits,
+       |    n_words >= 20 AND n_words <= 1000 AS wc_ok,
+       |    (sum_len * 10000) // n_words BETWEEN 30000 AND 100000 AS mwl_ok,
+       |    alpha_words * 10 >= n_words * 8 AS alpha_ok,
+       |    stop_hits >= 2 AS stop_ok,
+       |    (n_words >= 20 AND n_words <= 1000)
+       |      AND ((sum_len * 10000) // n_words BETWEEN 30000 AND 100000)
+       |      AND (alpha_words * 10 >= n_words * 8)
+       |      AND (stop_hits >= 2) AS keep
+       |  FROM f)""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "tx19_rule_filter" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $duckToks AS toks FROM documents),
-         |f AS (
-         |  SELECT doc_id,
-         |    CAST(len(toks) AS BIGINT) AS n_words,
-         |    CAST(strlen(array_to_string(toks, '')) AS BIGINT) AS sum_len,
-         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
-         |      AS BIGINT) AS alpha_words,
-         |    CAST(len(list_filter(toks, x -> list_contains(
-         |      [${StopWords.map(w => s"'$w'").mkString(", ")}], lower(x))))
-         |      AS BIGINT) AS stop_hits
-         |  FROM t)
-         |SELECT doc_id, n_words, (sum_len * 10000) // n_words AS mwl_fx,
-         |  alpha_words, stop_hits,
-         |  n_words >= 20 AND n_words <= 1000 AS wc_ok,
-         |  (sum_len * 10000) // n_words BETWEEN 30000 AND 100000 AS mwl_ok,
-         |  alpha_words * 10 >= n_words * 8 AS alpha_ok,
-         |  stop_hits >= 2 AS stop_ok,
-         |  (n_words >= 20 AND n_words <= 1000)
-         |    AND ((sum_len * 10000) // n_words BETWEEN 30000 AND 100000)
-         |    AND (alpha_words * 10 >= n_words * 8)
-         |    AND (stop_hits >= 2) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin,
+      s"""$duckRuleFlagsCtes
+         |SELECT doc_id, n_words, mwl_fx, alpha_words, stop_hits,
+         |  wc_ok, mwl_ok, alpha_ok, stop_ok, keep
+         |FROM flags ORDER BY doc_id""".stripMargin,
 
     "ev30_watermark_fit" ->
       s"""WITH e AS (

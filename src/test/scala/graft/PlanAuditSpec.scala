@@ -290,7 +290,9 @@ class PlanAuditSpec extends SparkSpec {
       "q41_basket_affinity",
       // ss14 broadcasts the 1-row vector-count aggregate that turns
       // occupancy into shares
-      "ss14_cell_balance")
+      "ss14_cell_balance",
+      // pk07 broadcasts the 1-row corpus-total aggregate for shares
+      "pk07_shard_manifest")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -89,7 +89,7 @@ object Dedup {
   }
 
   /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
-  private[operators] def docShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)

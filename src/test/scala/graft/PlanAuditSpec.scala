@@ -292,7 +292,9 @@ class PlanAuditSpec extends SparkSpec {
       // occupancy into shares
       "ss14_cell_balance",
       // pk07 broadcasts the 1-row corpus-total aggregate for shares
-      "pk07_shard_manifest")
+      "pk07_shard_manifest",
+      // ev34 broadcasts the 1-row user-total aggregate for path shares
+      "ev34_journey_paths")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -294,7 +294,11 @@ class PlanAuditSpec extends SparkSpec {
       // pk07 broadcasts the 1-row corpus-total aggregate for shares
       "pk07_shard_manifest",
       // ev34 broadcasts the 1-row user-total aggregate for path shares
-      "ev34_journey_paths")
+      "ev34_journey_paths",
+      // ss15 broadcasts ss10's 1-row packed per-dim [min,max] aggregate
+      "ss15_quant_bits_sweep",
+      // dd20 broadcasts the 1-row candidate-mass total for shares
+      "dd20_hot_shingles")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -24,17 +24,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads
-    * as raw long nanos (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set in Verify/Bench/specs). Convert to microsecond timestamps by
-    * truncation — exactly what DuckDB does reading the same file, so
-    * oracle comparisons line up.
+  /** Normalize `events.ts` to a session-zoned TIMESTAMP whatever the
+    * driver wrote that round: parquet TIMESTAMP(NANOS) reads as raw
+    * long nanos (`spark.sql.legacy.parquet.nanosAsLong=true`, set in
+    * Verify/Bench/specs) → truncate to micros; TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) reads as TIMESTAMP_NTZ → cast, exact
+    * because every session pins spark.sql.session.timeZone=UTC, the
+    * same naive reading DuckDB uses. Downstream operators can then
+    * rely on `unix_micros(ts)` and timestamp casts unconditionally.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

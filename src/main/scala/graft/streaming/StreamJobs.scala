@@ -99,17 +99,22 @@ object StreamJobs {
       }
   }
 
-  /** `events.parquet` as a file stream with the TIMESTAMP(NANOS)
-    * column fixed up — the streaming twin of
+  /** `events.parquet` as a file stream with the `ts` encoding fixed
+    * up (raw long nanos or TIMESTAMP_NTZ, depending on which
+    * testdata generation wrote the file) — the streaming twin of
     * [[graft.core.Tables.events]].
     */
   def eventsFileStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Drain a streaming frame into a memory-sink snapshot under

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Round5j, TextAnalysis}
+import graft.core.Tables
+
+/** Round-5 tenth-wave operators: length bucketing, weekly
+  * seasonality, Zipf octaves.
+  */
+class Round5jSpec extends SparkSpec {
+
+  // --- pk09: length buckets ----------------------------------------
+
+  test("pk09 buckets tile the corpus and waste arithmetic recounts") {
+    val got = Round5j.queries("pk09_length_buckets")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val nDocs = Tables.documents(spark, sf)
+      .filter(size(TextAnalysis.tokens(col("text"))) > 0).count()
+    assert(got.map(_.getAs[Long]("n_docs")).sum === nDocs,
+      "every non-empty doc lands in exactly one bucket")
+    got.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val cap = r.getAs[Long]("cap_tokens")
+      // the observed cap sits inside the bucket's dyadic range
+      assert(cap >= (1L << b) && cap < (1L << (b + 1)))
+      val n = r.getAs[Long]("n_docs"); val s = r.getAs[Long]("sum_tokens")
+      assert(r.getAs[Long]("bucket_waste_fx") === (n * cap - s) * 1000000L / (n * cap))
+      assert(r.getAs[Long]("saved_vs_global_fx") >= 0L)
+    }
+    // the bucket holding the global max saves nothing vs global padding
+    val top = got.maxBy(_.getAs[Int]("bucket"))
+    assert(top.getAs[Long]("saved_vs_global_fx") === 0L)
+  }
+
+  // --- q44: weekly seasonality -------------------------------------
+
+  test("q44 grid keys are in range and shares sum to ~1 per type") {
+    val got = Round5j.queries("q44_hour_seasonality")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Int]("dow") >= 0 && r.getAs[Int]("dow") <= 6)
+      assert(r.getAs[Int]("hour") >= 0 && r.getAs[Int]("hour") <= 23)
+    }
+    assert(got.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count(),
+      "every event lands in exactly one cell")
+    got.groupBy(_.getAs[String]("event_type")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("share_fx")).sum
+      // floor division loses at most 1 millionth per cell
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+  }
+
+  test("q44 dow/hour replay against java.time for a sampled event") {
+    val got = Round5j.queries("q44_hour_seasonality")(spark, sf)
+    val ev = Tables.events(spark, sf)
+      .select(col("ts"), col("event_type")).limit(1).collect()(0)
+    val ins = ev.getAs[java.sql.Timestamp]("ts").toInstant
+      .atZone(java.time.ZoneOffset.UTC)
+    // java.time: SUNDAY.getValue == 7; the operator uses 0=Sunday
+    val wantDow = ins.getDayOfWeek.getValue % 7
+    val cell = got.filter(col("event_type") === ev.getAs[String]("event_type") &&
+      col("dow") === wantDow && col("hour") === ins.getHour).collect()
+    assert(cell.length === 1, "the sampled event's cell exists exactly once")
+  }
+
+  // --- tx21: Zipf octaves ------------------------------------------
+
+  test("tx21 octaves cover the vocab and the mass conserves") {
+    val got = Round5j.queries("tx21_zipf_octaves")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val octs = got.map(_.getAs[Int]("octave"))
+    assert(octs.toSeq === (0 until octs.length), "octaves are contiguous from 0")
+    // octave k holds at most 2^k ranks, octave 0 exactly one
+    got.foreach { r =>
+      val k = r.getAs[Int]("octave")
+      assert(r.getAs[Long]("n_toks") <= (1L << k))
+    }
+    assert(got.head.getAs[Long]("n_toks") === 1L)
+    // total mass equals the corpus token count
+    val toks = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(got.map(_.getAs[Long]("mass")).sum === toks)
+    // decay: first row has no predecessor, later rows are positive
+    assert(got.head.isNullAt(got.head.fieldIndex("decay_fx")))
+    assert(got.tail.forall(_.getAs[Long]("decay_fx") > 0L))
+    // Zipf head dominance: octave 0 (the top token) carries more mass
+    // than its 1/|V| share
+    val total = got.map(_.getAs[Long]("mass")).sum
+    assert(got.head.getAs[Long]("mass").toDouble / total >
+      1.0 / got.map(_.getAs[Long]("n_toks")).sum)
+  }
+}

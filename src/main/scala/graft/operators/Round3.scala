@@ -474,7 +474,7 @@ object Round3 {
     }
   )
 
-  private val duckSketch16 = (0 until SketchBits).map(i =>
+  private[operators] val duckSketch16 = (0 until SketchBits).map(i =>
     s"CASE WHEN emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   def oracles: Map[String, String] = Map(

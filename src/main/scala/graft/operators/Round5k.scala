@@ -70,10 +70,10 @@ object Round5k {
         .withColumn("bin", least(expr(s"((common * $Fx) div uni) div ${Fx / NBins}"),
           lit((NBins - 1).toLong)))
         .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
-      val layouts = s.range(1)
-        .select(explode(typedLit(Layouts)).as("l"))
-        .select(col("l._1").as("b"), col("l._2").as("r"))
-      hist.crossJoin(broadcast(layouts))
+      hist
+        .select(col("bin"), col("n_pairs"), explode(typedLit(Layouts)).as("l"))
+        .select(col("bin"), col("n_pairs"),
+          col("l._1").as("b"), col("l._2").as("r"))
         .withColumn("s1", col("bin") * lit(Fx / NBins) + lit(Fx / NBins / 2))
         .withColumn("s2", expr(s"(s1*s1) div $Fx"))
         .withColumn("s4", expr(s"(s2*s2) div $Fx"))

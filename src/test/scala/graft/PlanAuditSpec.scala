@@ -298,7 +298,18 @@ class PlanAuditSpec extends SparkSpec {
       // ss15 broadcasts ss10's 1-row packed per-dim [min,max] aggregate
       "ss15_quant_bits_sweep",
       // dd20 broadcasts the 1-row candidate-mass total for shares
-      "dd20_hot_shingles")
+      "dd20_hot_shingles",
+      // pk09 broadcasts the 1-row global-max-length aggregate
+      "pk09_length_buckets",
+      // tx21 broadcasts the 1-row corpus-mass total for octave shares
+      "tx21_zipf_octaves",
+      // ev36 broadcasts the 1-row gap-count total for octave shares
+      "ev36_gap_octaves",
+      // dd22 broadcasts the 1-row population + clustered-mass
+      // aggregates (octave shares and the singleton row)
+      "dd22_cluster_octaves",
+      // ss16 broadcasts the single query row (like ss01/ss08)
+      "ss16_probe_recall")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

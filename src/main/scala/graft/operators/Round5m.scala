@@ -25,6 +25,33 @@ object Round5m {
     */
   val BurstX = 3L
 
+  /** The burst census over a (event_type, minute, n) cell table —
+    * ONE definition consumed by batch ev37 and the streaming twin
+    * ev38 (Round5n), so the alerting math cannot drift between the
+    * lambda halves. Baseline joins back by broadcast (types are
+    * bounded); the burst predicate is integer cross-multiplication.
+    */
+  private[operators] def burstCensus(cells: DataFrame): DataFrame = {
+    val types = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_active_minutes"),
+        sum(col("n")).cast("long").as("total_events"),
+        max(col("n")).as("peak_minute_n"))
+    cells.join(broadcast(types), Seq("event_type"))
+      .withColumn("burst",
+        when(col("n") * col("n_active_minutes") >= lit(BurstX) * col("total_events"),
+          1L).otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(first(col("n_active_minutes")).as("n_active_minutes"),
+        first(col("total_events")).as("total_events"),
+        first(col("peak_minute_n")).as("peak_minute_n"),
+        sum(col("burst")).cast("long").as("n_burst_minutes"))
+      .withColumn("burst_share_fx",
+        expr(s"(n_burst_minutes * $Fx) div n_active_minutes"))
+      .select(col("event_type"), col("n_active_minutes"), col("total_events"),
+        col("peak_minute_n"), col("n_burst_minutes"), col("burst_share_fx"))
+      .orderBy(col("event_type"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- ev37: burst-minute census ------------------------------------
     // Rate-spike detection at minute grain: events fold into
@@ -36,28 +63,10 @@ object Round5m {
     // table is touched exactly once. Complements q34 (hourly z-score
     // on value): this is the pure-rate spike at finer grain.
     "ev37_burst_minutes" -> { (s, d) =>
-      val cells = Tables.events(s, d)
+      burstCensus(Tables.events(s, d)
         .select(col("event_type"), expr("unix_micros(ts) div 60000000").as("minute"))
         .groupBy(col("event_type"), col("minute"))
-        .agg(count(lit(1)).as("n"))
-      val types = cells.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_active_minutes"),
-          sum(col("n")).cast("long").as("total_events"),
-          max(col("n")).as("peak_minute_n"))
-      cells.join(broadcast(types), Seq("event_type"))
-        .withColumn("burst",
-          when(col("n") * col("n_active_minutes") >= lit(BurstX) * col("total_events"),
-            1L).otherwise(0L))
-        .groupBy(col("event_type"))
-        .agg(first(col("n_active_minutes")).as("n_active_minutes"),
-          first(col("total_events")).as("total_events"),
-          first(col("peak_minute_n")).as("peak_minute_n"),
-          sum(col("burst")).cast("long").as("n_burst_minutes"))
-        .withColumn("burst_share_fx",
-          expr(s"(n_burst_minutes * $Fx) div n_active_minutes"))
-        .select(col("event_type"), col("n_active_minutes"), col("total_events"),
-          col("peak_minute_n"), col("n_burst_minutes"), col("burst_share_fx"))
-        .orderBy(col("event_type"))
+        .agg(count(lit(1)).as("n")))
     },
 
     // --- ss17: corpus ↔ index coverage audit --------------------------

@@ -27,7 +27,11 @@ object PlanDump {
     // round-5 fourth wave: rule filter (pure narrow), watermark
     // two-level replay, Lorenz tiling, phash banding, fuzzy decontam
     "tx19_rule_filter", "ev30_watermark_fit", "q40_spend_lorenz",
-    "mm07_phash_neardup", "dd18_fuzzy_contamination")
+    "mm07_phash_neardup", "dd18_fuzzy_contamination",
+    // round-5 late waves: fixed-point S-curve fanout, bounded octave
+    // censuses, probe-recall TakeOrdered branches, full-outer id audit
+    "dd21_band_scurve", "ev36_gap_octaves", "ss16_probe_recall",
+    "ev37_burst_minutes", "ss17_index_coverage", "ss18_dim_stats")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -88,6 +88,23 @@ object Dedup {
       common.cast("double") / (size(a) + size(b) - common))
   }
 
+  /** (doc_id, band, band_hash) — the LSH banding table dd03 joins on
+    * and dd23 caps; ONE definition so the capped variant prices
+    * exactly the banding the full join uses. NOT barriered here —
+    * callers own materialization (barrier is a single-slot cache).
+    */
+  private[graft] def bandedSignatures(s: SparkSession, d: String): DataFrame = {
+    val sig = docShingles(s, d).select(
+      col("doc_id") +: minhashSigCols(col("shs")).zipWithIndex
+        .map { case (c, i) => c.as(s"sig_$i") }: _*)
+    val bandCols = (0 until Bands).map(b =>
+      Hashing.hash64(concat_ws(",",
+        (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
   /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
   private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -242,16 +259,7 @@ object Dedup {
 
     // MinHash + banded LSH candidate pairs
     "dd03_minhash_lsh" -> { (s, d) =>
-      val sig = docShingles(s, d).select(
-        col("doc_id") +: minhashSigCols(col("shs")).zipWithIndex
-          .map { case (c, i) => c.as(s"sig_$i") }: _*)
-      val bandCols = (0 until Bands).map(b =>
-        Hashing.hash64(concat_ws(",",
-          (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)))
-      val banded = barrier(sig
-        .select(col("doc_id"), posexplode(array(bandCols: _*)))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_hash"))
+      val banded = barrier(bandedSignatures(s, d))
       val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
       l.join(r, Seq("band", "band_hash"))
@@ -280,6 +288,30 @@ object Dedup {
   )
 
   private[operators] val duckToks = """string_split_regex(trim(text), '\s+')"""
+
+  /** DuckDB CTE bodies (sh_t, sigs, banded) — the SQL twin of
+    * [[bandedSignatures]], shared by the dd03 and dd23 oracles.
+    * Callers splice after `WITH ` and may append further CTEs.
+    */
+  private[operators] lazy val duckBandedCtes: String = {
+    val sigExprs = (0 until MinhashK).map(k =>
+      s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
+      .mkString(",\n    ")
+    val bandRows = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"CAST(sig_${b * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, ${Hashing.duckHash64(s"($parts)")} AS band_hash FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""sh_t AS (
+       |  SELECT doc_id, $duckShs AS shs FROM documents
+       |  WHERE len($duckToks) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM sh_t),
+       |banded AS (
+       |  $bandRows)""".stripMargin
+  }
   private[operators] val duckShStr =
     s"""list_transform(range(len($duckToks) - 2),
        | i -> $duckToks[i+1] || ' ' || $duckToks[i+2] || ' ' || $duckToks[i+3])""".stripMargin
@@ -338,29 +370,12 @@ object Dedup {
          |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) * 10000) / 10000 >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dd03_minhash_lsh" -> {
-      val sigExprs = (0 until MinhashK).map(k =>
-        s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
-        .mkString(",\n    ")
-      val bandRows = (0 until Bands).map { b =>
-        val parts = (0 until RowsPerBand).map(r => s"CAST(sig_${b * RowsPerBand + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $b AS band, ${Hashing.duckHash64(s"($parts)")} AS band_hash FROM sigs"
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH sh_t AS (
-         |  SELECT doc_id, $duckShs AS shs FROM documents
-         |  WHERE len($duckToks) >= 3),
-         |sigs AS (
-         |  SELECT doc_id,
-         |    $sigExprs
-         |  FROM sh_t),
-         |banded AS (
-         |  $bandRows)
+    "dd03_minhash_lsh" ->
+      s"""WITH $duckBandedCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd04_simhash" -> {
       val bitSums = (0 until SimhashBits).map(b =>

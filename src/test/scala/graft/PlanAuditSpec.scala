@@ -309,7 +309,10 @@ class PlanAuditSpec extends SparkSpec {
       // aggregates (octave shares and the singleton row)
       "dd22_cluster_octaves",
       // ss16 broadcasts the single query row (like ss01/ss08)
-      "ss16_probe_recall")
+      "ss16_probe_recall",
+      // dd23 crosses two 1-row census aggregates (bucket × pair),
+      // the dd13 pattern
+      "dd23_capped_banding")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -219,7 +219,7 @@ object TextAnalysis {
   )
 
   private val duckToks = """string_split_regex(trim(text), '\s+')"""
-  private val duckStop =
+  private[operators] val duckStop =
     s"""len(list_filter($duckToks, t -> t IN ('the','a','of','and','to','in','is')))"""
 
   def oracles: Map[String, String] = Map(

@@ -312,7 +312,9 @@ class PlanAuditSpec extends SparkSpec {
       "ss16_probe_recall",
       // dd23 crosses two 1-row census aggregates (bucket × pair),
       // the dd13 pattern
-      "dd23_capped_banding")
+      "dd23_capped_banding",
+      // pk10 broadcasts the 1-row token-total aggregate for shares
+      "pk10_curriculum_phases")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

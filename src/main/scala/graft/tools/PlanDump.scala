@@ -31,7 +31,11 @@ object PlanDump {
     // round-5 late waves: fixed-point S-curve fanout, bounded octave
     // censuses, probe-recall TakeOrdered branches, full-outer id audit
     "dd21_band_scurve", "ev36_gap_octaves", "ss16_probe_recall",
-    "ev37_burst_minutes", "ss17_index_coverage", "ss18_dim_stats")
+    "ev37_burst_minutes", "ss17_index_coverage", "ss18_dim_stats",
+    // round-5 final waves: capped-banding mitigation, exact-ntile
+    // curriculum, the curate→dedup→pack e2e composition
+    "dd23_capped_banding", "pk10_curriculum_phases",
+    "pk11_curate_pack_e2e", "ev39_session_profile")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

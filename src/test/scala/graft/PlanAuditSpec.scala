@@ -314,7 +314,9 @@ class PlanAuditSpec extends SparkSpec {
       // the dd13 pattern
       "dd23_capped_banding",
       // pk10 broadcasts the 1-row token-total aggregate for shares
-      "pk10_curriculum_phases")
+      "pk10_curriculum_phases",
+      // dd24 broadcasts the 1-row candidate-total aggregate for shares
+      "dd24_threshold_sweep")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

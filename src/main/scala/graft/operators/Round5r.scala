@@ -72,12 +72,14 @@ object Round5r {
         .withColumn("bucket", array_min(col("shs"))))
       val a = ds.select(col("bucket"), col("doc_id").as("doc_a"), col("shs").as("sh_a"))
       val b = ds.select(col("bucket"), col("doc_id").as("doc_b"), col("shs").as("sh_b"))
-      val sims = a.join(b, Seq("bucket"))
+      // the slim j_fx frame feeds BOTH the total and the sweep —
+      // materialize it or the pair join + intersect runs twice
+      val sims = Dedup.barrierAlso(a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
         .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("common"))
         .withColumn("j_fx", expr(s"(common * $Fx) div uni"))
-        .select(col("j_fx"))
+        .select(col("j_fx")))
       val total = sims.agg(count(lit(1)).as("n_cands"))
       sims.select(col("j_fx"), explode(typedLit(Thresholds)).as("thr_fx"))
         .filter(col("j_fx") >= col("thr_fx"))

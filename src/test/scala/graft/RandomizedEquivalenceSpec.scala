@@ -246,4 +246,46 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(expected.nonEmpty, s"seed=$seed produced no containment pairs")
     }
   }
+
+  test("floor-log2 via length(bin(n)) - 1 is exact on random longs") {
+    // the octave key used by pk09/tx21/ev36/dd22 — exact floor(log2)
+    // for every n >= 1, including exact powers of two where a libm
+    // log2 could misround
+    val rnd = new Random(19)
+    val ns = (Seq(1L, 2L, 3L, 4L, 1023L, 1024L, 1025L, (1L << 40) - 1, 1L << 40) ++
+      (0 until 200).map(_ => 1L + (rnd.nextLong().abs % (1L << 50)))).distinct
+    val got = ns.toDF("n")
+      .select(col("n"), (length(bin(col("n"))) - 1).cast("int").as("oct"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    ns.foreach { n =>
+      assert(got(n) === 63 - java.lang.Long.numberOfLeadingZeros(n), s"n=$n")
+    }
+  }
+
+  test("fixed-point squaring chains track the real S-curve within truncation error") {
+    // dd21's machinery: s^r and (1-s^r)^b via repeated `(x*x) div 1e6`
+    // chains. Each squaring truncates < 1e-6, so the accumulated
+    // absolute error over the (16,1)..(1,16) layouts stays < 1e-4 —
+    // assert that bound on random similarities, driving the SAME SQL
+    // expressions the operator uses.
+    val rnd = new Random(23)
+    val ss = (0 until 100).map(_ => rnd.nextInt(1000001).toLong)
+    val df = ss.toDF("s1")
+      .withColumn("s2", expr("(s1*s1) div 1000000"))
+      .withColumn("s4", expr("(s2*s2) div 1000000"))
+      .withColumn("s8", expr("(s4*s4) div 1000000"))
+      .withColumn("s16", expr("(s8*s8) div 1000000"))
+    val got = df.collect().map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+      r.getAs[Long]("s4"), r.getAs[Long]("s8"), r.getAs[Long]("s16")))
+    got.foreach { case (s1, s2, s4, s8, s16) =>
+      val s = s1.toDouble / 1e6
+      Seq(2 -> s2, 4 -> s4, 8 -> s8, 16 -> s16).foreach { case (e, fx) =>
+        val exact = math.pow(s, e)
+        assert(math.abs(fx / 1e6 - exact) < 1e-4,
+          s"s=$s e=$e fx=$fx exact=$exact")
+        // truncation only ever rounds DOWN
+        assert(fx / 1e6 <= exact + 1e-12)
+      }
+    }
+  }
 }

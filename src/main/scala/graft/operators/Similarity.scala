@@ -65,7 +65,7 @@ object Similarity {
   )
 
   private val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
-  private val duckBucket = (0 until 8).map(i =>
+  private[operators] val duckBucket = (0 until 8).map(i =>
     s"CASE WHEN emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
   /** IVF-style ANN: coarse quantizer = the first `IvfK` vectors (a

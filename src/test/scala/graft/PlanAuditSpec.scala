@@ -316,7 +316,9 @@ class PlanAuditSpec extends SparkSpec {
       // pk10 broadcasts the 1-row token-total aggregate for shares
       "pk10_curriculum_phases",
       // dd24 broadcasts the 1-row candidate-total aggregate for shares
-      "dd24_threshold_sweep")
+      "dd24_threshold_sweep",
+      // ss19 broadcasts the 10-row query panel (ss01/ss08's pattern)
+      "ss19_panel_recall")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -318,7 +318,9 @@ class PlanAuditSpec extends SparkSpec {
       // dd24 broadcasts the 1-row candidate-total aggregate for shares
       "dd24_threshold_sweep",
       // ss19 broadcasts the 10-row query panel (ss01/ss08's pattern)
-      "ss19_panel_recall")
+      "ss19_panel_recall",
+      // ss20 broadcasts the 1-row packed-centroids aggregate (ss09)
+      "ss20_cluster_margin")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

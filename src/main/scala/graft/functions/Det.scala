@@ -26,4 +26,16 @@ object Det {
     val p = math.pow(10, d).toLong
     s"floor(($expr) * $p) / $p"
   }
+
+  /** FLOOR division on the integer domain, sign-proof.
+    *
+    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
+    * so the two disagree on any negative numerator (e.g. a pre-epoch
+    * timestamp in regenerated testdata). Subtracting `pmod` makes the
+    * numerator exactly divisible, so `div` IS floor for any sign —
+    * the q34 recipe (operators/Round4b.scala), shared so every epoch
+    * day/hour/minute key uses the same guarded form.
+    */
+  def floorDiv(numerator: String, divisor: Long): String =
+    s"(($numerator) - pmod($numerator, $divisor)) div $divisor"
 }

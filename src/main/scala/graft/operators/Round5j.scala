@@ -67,7 +67,8 @@ object Round5j {
       val w = Window.partitionBy(col("event_type"))
       Tables.events(s, d)
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
-        .withColumn("dow", expr("((us div 86400000000 + 4) % 7 + 7) % 7").cast("int"))
+        .withColumn("dow", expr(
+          s"((${graft.functions.Det.floorDiv("us", 86400000000L)} + 4) % 7 + 7) % 7").cast("int"))
         .withColumn("hour", expr("(((us % 86400000000) + 86400000000) % 86400000000) div 3600000000").cast("int"))
         .groupBy(col("event_type"), col("dow"), col("hour"))
         .agg(count(lit(1)).as("n"))
@@ -81,23 +82,42 @@ object Round5j {
     // Natural corpora follow Zipf's law (freq ∝ 1/rank): the token
     // mass in each rank octave [2^k, 2^(k+1)) is then roughly
     // constant, and a synthetic or templated corpus shows up as a
-    // decay curve that is anything but flat. Integer-exact: vocab is
-    // one hash aggregate over exploded tokens, the rank is a
-    // row_number on the VOCAB-sized table (|V| << corpus) with a
-    // total (freq desc, tok) order, the octave is floor-log2 of the
-    // rank, and the decay ratio lags over the ~log2|V|-row octave
-    // table.
+    // decay curve that is anything but flat. Scale posture: tokens in
+    // the same frequency class are interchangeable for octave
+    // counting, so NO per-token rank is ever materialized — the vocab
+    // (one hash aggregate over exploded tokens) folds again to
+    // per-frequency class counts (a table bounded by the number of
+    // DISTINCT frequencies, O(√corpus) under Zipf), a prefix sum over
+    // that bounded table assigns each class its rank range
+    // [off+1, off+cnt], and each class's range is intersected with
+    // the ~log2|V| power-of-two octaves by pure interval arithmetic
+    // (a ≤log2|V|-element sequence explode). The round-5 global
+    // row_number this replaced funneled the whole vocabulary through
+    // one task; this form's only unpartitioned window runs on the
+    // distinct-frequency table. Output is bit-identical: octave
+    // membership depends only on the rank RANGE, not the (freq desc,
+    // tok) tie order inside a class.
     "tx21_zipf_octaves" -> { (s, d) =>
       val vocab = Tables.documents(s, d)
         .select(explode_outer(TextAnalysis.tokens(col("text"))).as("tok"))
         .filter(col("tok").isNotNull && col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
-      val ranked = vocab
-        .withColumn("rank",
-          row_number().over(Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
-        .withColumn("octave", log2floor(col("rank")))
-      val oct = ranked.groupBy(col("octave"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("freq")).cast("long").as("mass"))
+      val classes = vocab.groupBy(col("freq"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      val ranged = classes
+        .withColumn("endr",
+          sum(col("cnt")).over(Window.orderBy(col("freq").desc)).cast("long"))
+        .withColumn("startr", col("endr") - col("cnt") + 1L)
+      val oct = ranged
+        .select(col("freq"), col("startr"), col("endr"),
+          explode(sequence(log2floor(col("startr")), log2floor(col("endr")))).as("octave"))
+        .withColumn("lo", greatest(col("startr"), expr("shiftleft(cast(1 as bigint), octave)")))
+        .withColumn("hi", least(col("endr"),
+          expr("shiftleft(cast(1 as bigint), octave + 1) - 1")))
+        .withColumn("n_in", col("hi") - col("lo") + 1L)
+        .groupBy(col("octave"))
+        .agg(sum(col("n_in")).cast("long").as("n_toks"),
+          sum(col("n_in") * col("freq")).cast("long").as("mass"))
       val t = oct.agg(sum(col("mass")).cast("long").as("total"))
       oct.crossJoin(broadcast(t))
         .withColumn("prev_mass", lag(col("mass"), 1).over(Window.orderBy(col("octave"))))

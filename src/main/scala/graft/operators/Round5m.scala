@@ -64,7 +64,8 @@ object Round5m {
     // on value): this is the pure-rate spike at finer grain.
     "ev37_burst_minutes" -> { (s, d) =>
       burstCensus(Tables.events(s, d)
-        .select(col("event_type"), expr("unix_micros(ts) div 60000000").as("minute"))
+        .select(col("event_type"),
+          expr(graft.functions.Det.floorDiv("unix_micros(ts)", 60000000L)).as("minute"))
         .groupBy(col("event_type"), col("minute"))
         .agg(count(lit(1)).as("n")))
     },

@@ -144,31 +144,42 @@ object TextAnalysis {
         .orderBy(col("tok_a"), col("tok_b"))
     },
 
-    // per-language top-N vocabulary by frequency. Two-level reduction:
-    // the corpus folds to (lang, tok) frequencies first (map-side
-    // partial combine — the only pass over the fact table), then ONE
-    // window over the vocab-sized frame ranks and counts. The output
-    // row is bounded (50 tokens), and no stage ever materializes a
-    // whole language's vocabulary in one row — the unbounded
-    // collect_set this replaced was the one OOM-shaped plan left in
-    // the text family.
+    // per-language top-N vocabulary by frequency. Three-level
+    // reduction, skew-proof: the corpus folds to (lang, tok)
+    // frequencies first (map-side partial combine — the only pass
+    // over the fact table); a SALTED local top-50 then prunes each
+    // language to ≤ 64×50 candidate rows (row_number partitioned by
+    // (lang, salt) — 64 bounded sorts per language instead of one
+    // task sorting a language's whole vocabulary); the final per-lang
+    // rank runs on that pruned frame. The salt is a deterministic
+    // token hash, so any token that is globally top-50 is also top-50
+    // within its salt bucket — no recall loss, bit-identical output.
+    // vocab_size folds separately (plain count per lang, no window).
     "tx06_collect_tokens" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val tokFreq = Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("lang"), col("tok"))
         .agg(count(lit(1)).as("freq"))
-      val w = Window.partitionBy(col("lang"))
-      tokFreq
-        .withColumn("rk", row_number().over(w.orderBy(col("freq").desc, col("tok"))))
-        .withColumn("vsize", count(lit(1)).over(w))
+      val vsizes = tokFreq.groupBy(col("lang"))
+        .agg(count(lit(1)).as("vocab_size"))
+      val pruned = tokFreq
+        .withColumn("salt", pmod(xxhash64(col("tok")), lit(64)))
+        .withColumn("lrk", row_number().over(
+          Window.partitionBy(col("lang"), col("salt"))
+            .orderBy(col("freq").desc, col("tok"))))
+        .filter(col("lrk") <= 50)
+      pruned
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("tok"))))
         .filter(col("rk") <= 50)
         .groupBy(col("lang"))
         .agg(
           concat_ws(" ", transform(
             array_sort(collect_list(struct(col("rk"), col("tok")))),
-            s => s.getField("tok"))).as("vocab"),
-          max(col("vsize")).as("vocab_size"))
+            s => s.getField("tok"))).as("vocab"))
+        .join(broadcast(vsizes), Seq("lang"))
+        .select(col("lang"), col("vocab"), col("vocab_size"))
         .orderBy(col("lang"))
     },
 

@@ -255,6 +255,46 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(q).size >= 2, q)
   }
 
+  test("no operator runs an unpartitioned window over un-aggregated input") {
+    // The §5 posture as one enforced invariant instead of per-query
+    // review: a Window with an EMPTY partitionSpec funnels its whole
+    // input through one task, so it is only admissible above an
+    // Aggregate — i.e. over a group-table-sized frame (hour buckets,
+    // octaves, distinct frequencies, …), never over the facts. The
+    // round-5 tx21 (global row_number over the vocabulary) is exactly
+    // the shape this catches. ntileExact's small-frame fast path is
+    // an intentional single-task sort below an adaptive threshold;
+    // zeroing the threshold audits the cluster posture.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, LogicalPlan, Window => LWindow}
+    // Windows over frames bounded by CONSTRUCTION rather than by an
+    // aggregate — each entry names the bound:
+    val boundedByConstruction = Set(
+      // ss11 ranks the ≤nlist(=8) centroid rows against one query
+      // vector; the frame is the centroid table itself
+      "ss11_ivf_nprobe_eval")
+    spark.conf.set("spark.graft.ntile.localThreshold", "0")
+    try {
+      SparkEntry.queries.keys.toSeq.sorted
+        .filterNot(boundedByConstruction.contains).foreach { name =>
+        val plan: LogicalPlan =
+          SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan
+        plan.foreach {
+          case w: LWindow if w.partitionSpec.isEmpty =>
+            // admissible bounds: an Aggregate (group-table-sized frame)
+            // or a Limit (≤K rows) anywhere beneath the window
+            val bounded = w.child.collectFirst {
+              case a: Aggregate => a: LogicalPlan
+              case l: GlobalLimit => l
+              case l: LocalLimit => l
+            }.nonEmpty
+            assert(bounded,
+              s"$name: unpartitioned window over un-aggregated input:\n$w")
+          case _ =>
+        }
+      }
+    } finally spark.conf.unset("spark.graft.ntile.localThreshold")
+  }
+
   test("no operator plans an accidental cartesian / nested-loop join") {
     // intentional single-row broadcasts (query vector, global tip,
     // funnel scalars): a BroadcastNestedLoopJoin against ONE row is

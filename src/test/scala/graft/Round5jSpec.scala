@@ -63,6 +63,25 @@ class Round5jSpec extends SparkSpec {
     assert(cell.length === 1, "the sampled event's cell exists exactly once")
   }
 
+  test("q44 full grid replays exactly through java.time calendar arithmetic") {
+    // The strongest independent check: recount EVERY (type, dow, hour)
+    // cell with java.time (a third engine next to Spark's integer
+    // arithmetic and DuckDB's //) and require the whole grid to match
+    // cell-for-cell — counts included, not just cell existence.
+    val want = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts")).collect()
+      .map { r =>
+        val z = r.getAs[java.sql.Timestamp]("ts").toInstant
+          .atZone(java.time.ZoneOffset.UTC)
+        (r.getAs[String]("event_type"), z.getDayOfWeek.getValue % 7, z.getHour)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Round5j.queries("q44_hour_seasonality")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("dow"),
+        r.getAs[Int]("hour")) -> r.getAs[Long]("n")).toMap
+    assert(got === want, "java.time grid replay")
+  }
+
   // --- tx21: Zipf octaves ------------------------------------------
 
   test("tx21 octaves cover the vocab and the mass conserves") {
@@ -89,5 +108,30 @@ class Round5jSpec extends SparkSpec {
     val total = got.map(_.getAs[Long]("mass")).sum
     assert(got.head.getAs[Long]("mass").toDouble / total >
       1.0 / got.map(_.getAs[Long]("n_toks")).sum)
+  }
+
+  test("tx21 interval arithmetic equals the direct global row_number census") {
+    // Pin the two-level rank-range decomposition against the naive
+    // construction it replaced (global row_number over the vocab,
+    // fine at test SF): the octave census must be bit-identical even
+    // though no per-token rank is ever materialized in the shipped
+    // plan.
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(spark, sf)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val naive = vocab
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("tok"))).cast("long"))
+      .withColumn("octave", (length(bin(col("rank"))) - 1).cast("int"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("freq")).cast("long").as("mass"))
+      .collect().map(r => r.getAs[Int]("octave") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("mass"))).toMap
+    val got = Round5j.queries("tx21_zipf_octaves")(spark, sf).collect()
+      .map(r => r.getAs[Int]("octave") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("mass"))).toMap
+    assert(got === naive)
   }
 }

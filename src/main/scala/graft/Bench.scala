@@ -121,10 +121,20 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
         s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"sf":"$sfTag"}"""
-    if (line.length > 1900)
-      System.err.println(s"[bench] WARNING: summary line ${line.length} chars " +
-        "exceeds the driver's 2000-char tail capture — shorten it")
     println(line)
+    // The driver's artifact keeps only the LAST ~2000 chars of output;
+    // at 168+ queries the full map line above no longer fits, so the
+    // round-5 artifact lost the headline total (parsed: null). The
+    // FINAL line is therefore a compact ≤500-char digest — same
+    // "metric" schema so any last-JSON-line parser still finds the
+    // total, with the 5 slowest queries instead of the full map.
+    val slowest = mins.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms2(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n":${mins.size},""" +
+        s""""queries":$slowest,"slowest":$slowest,""" +
+        s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -148,12 +148,12 @@ object Round5b {
     // PROVES merged == direct for every published stat (the q23
     // decimal-moments recipe keeps the float sums engine-exact).
     // n_partials doubles as the census of incremental units. Day
-    // bucketing is integer unix_micros div, immune to the div-vs-floor
-    // and timezone traps.
+    // bucketing is pmod-guarded integer floor division (Det.floorDiv),
+    // immune to the div-vs-floor and timezone traps for any sign.
     "q38_incr_merge" -> { (s, d) =>
       val dayUs = 86400000000L
       val partials = Tables.events(s, d)
-        .withColumn("day", expr(s"unix_micros(ts) div $dayUs"))
+        .withColumn("day", expr(graft.functions.Det.floorDiv("unix_micros(ts)", dayUs)))
         .withColumn("v", col("value").cast("decimal(18,6)"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("pn"),

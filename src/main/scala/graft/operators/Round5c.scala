@@ -50,7 +50,8 @@ object Round5c {
     // tail days past the observed range.
     "q39_rolling_mau" -> { (s, d) =>
       val ud = Tables.events(s, d)
-        .select(col("user_id"), expr(s"unix_micros(ts) div $DayUs").as("day"))
+        .select(col("user_id"),
+          expr(graft.functions.Det.floorDiv("unix_micros(ts)", DayUs)).as("day"))
         .distinct()
       val mx = ud.agg(max(col("day")).as("max_day"))
       ud.select(col("user_id"), col("day"),

@@ -86,10 +86,9 @@ object Round5p {
 
   def oracles: Map[String, String] = Map(
     "pk10_curriculum_phases" -> {
-      // quality defined EXACTLY as tx02's oracle does
-      val q = s"""floor((0.5 * least(1.0, n_tokens / 100.0)
-                 |     + 0.3 * (1.0 - stop_ratio)
-                 |     + 0.2 * (1.0 - least(1.0, punct_ratio * 10.0))) * 10000) / 10000""".stripMargin
+      // quality is tx02's SHARED oracle fragment — one definition,
+      // both oracles, no silent drift
+      val q = TextAnalysis.duckQuality
       s"""WITH base AS (
          |  SELECT doc_id, len(${Dedup.duckToks}) AS n_tokens,
          |    CAST(${TextAnalysis.duckStop} AS DOUBLE) / len(${Dedup.duckToks})

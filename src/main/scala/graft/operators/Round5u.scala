@@ -43,16 +43,22 @@ object Round5u {
       }
       val packed = cents.agg(array_sort(collect_list(
         struct(col("clbl"), col("cent"), col("c_norm")))).as("cs"))
+      // Zero-norm guard: a zero vector (or a degenerate centroid)
+      // makes cos NaN, and NaN ORDERS DIFFERENTLY between the fold
+      // (`>` is false — acc kept) and DuckDB MAX (NaN sorts greatest).
+      // Pin both engines to the same sentinel: a zero-norm pair
+      // scores -2.0, below any real cosine.
+      def cosOf(cst: org.apache.spark.sql.Column) = {
+        val denom = col("norm") * cst.getField("c_norm")
+        when(denom === 0.0, lit(-2.0))
+          .otherwise(Similarity.dot(col("emb"), cst.getField("cent")) / denom)
+      }
       e.withColumn("norm", Similarity.l2norm(col("emb")))
         .crossJoin(broadcast(packed))
-        .withColumn("own", aggregate(col("cs"), lit(-2.0), (acc, cst) => {
-          val cos = Similarity.dot(col("emb"), cst.getField("cent")) /
-            (col("norm") * cst.getField("c_norm"))
-          when(cst.getField("clbl") === col("label"), cos).otherwise(acc)
-        }))
+        .withColumn("own", aggregate(col("cs"), lit(-2.0), (acc, cst) =>
+          when(cst.getField("clbl") === col("label"), cosOf(cst)).otherwise(acc)))
         .withColumn("other", aggregate(col("cs"), lit(-2.0), (acc, cst) => {
-          val cos = Similarity.dot(col("emb"), cst.getField("cent")) /
-            (col("norm") * cst.getField("c_norm"))
+          val cos = cosOf(cst)
           when(cst.getField("clbl") =!= col("label") && cos > acc, cos)
             .otherwise(acc)
         }))
@@ -84,8 +90,10 @@ object Round5u {
          |  FROM (SELECT label, list(c ORDER BY i) AS cent FROM dims GROUP BY label)),
          |scored AS (
          |  SELECT e.vec_id, e.label, cn.clbl,
-         |    list_sum(list_transform(range(len(e.emb)), i -> e.emb[i+1] * cn.cent[i+1]))
-         |      / (sqrt(list_sum(list_transform(e.emb, x -> x * x))) * cn.c_norm) AS cos
+         |    CASE WHEN sqrt(list_sum(list_transform(e.emb, x -> x * x))) * cn.c_norm = 0
+         |      THEN -2.0
+         |      ELSE list_sum(list_transform(range(len(e.emb)), i -> e.emb[i+1] * cn.cent[i+1]))
+         |        / (sqrt(list_sum(list_transform(e.emb, x -> x * x))) * cn.c_norm) END AS cos
          |  FROM e CROSS JOIN cn),
          |per AS (
          |  SELECT vec_id, label,

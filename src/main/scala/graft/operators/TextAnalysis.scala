@@ -233,6 +233,16 @@ object TextAnalysis {
   private[operators] val duckStop =
     s"""len(list_filter($duckToks, t -> t IN ('the','a','of','and','to','in','is')))"""
 
+  /** tx02's quality formula over (n_tokens, stop_ratio, punct_ratio)
+    * columns — the ONE definition spliced into every oracle that
+    * scores quality (tx02, pk10), so a tweak here can never drift the
+    * two silently.
+    */
+  private[operators] val duckQuality: String =
+    """floor((0.5 * least(1.0, n_tokens / 100.0)
+      |     + 0.3 * (1.0 - stop_ratio)
+      |     + 0.2 * (1.0 - least(1.0, punct_ratio * 10.0))) * 10000) / 10000""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "tx01_token_count" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
@@ -243,9 +253,7 @@ object TextAnalysis {
 
     "tx02_quality_score" ->
       s"""SELECT doc_id, n_tokens,
-         | floor((0.5 * least(1.0, n_tokens / 100.0)
-         |     + 0.3 * (1.0 - stop_ratio)
-         |     + 0.2 * (1.0 - least(1.0, punct_ratio * 10.0))) * 10000) / 10000 AS quality
+         | $duckQuality AS quality
          |FROM (
          |  SELECT doc_id, len($duckToks) AS n_tokens,
          |    CAST($duckStop AS DOUBLE) / len($duckToks) AS stop_ratio,

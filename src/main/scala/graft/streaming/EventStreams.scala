@@ -169,6 +169,30 @@ object EventStreams {
       explode(array(eventTopic(prefix), lit(allTopic))).as("topic"))
   }
 
+  /** Per-contract ordered delivery (events.rs:147-196 send_events:
+    * each contract's group is iterated SEQUENTIALLY in block order,
+    * and the metadata sends use FuturesOrdered — events.rs:225-230).
+    * Kafka preserves order per (topic, partition) and keyed records
+    * land in one partition, so the producer-side obligation is that
+    * one contract's records are written by ONE task, consecutively,
+    * height-ascending. This transform pins exactly that: a hash
+    * repartition on the event key (all of a contract's records in one
+    * task = one producer) and a within-task sort on
+    * (key, block_height, shard_id, receipt_id). The serialization
+    * stages above it are map-only (project + generate), so the
+    * ordering survives to the sink untouched. Apply under
+    * foreachBatch — streaming DataFrames reject sorts, and the Kafka
+    * writer is driven per micro-batch anyway; sequential micro-batches
+    * over a height-monotonic source (BlockSource) extend the guarantee
+    * across batches.
+    */
+  def orderedKafkaRecords(events: DataFrame, prefix: String, allTopic: String): DataFrame =
+    toKafkaRecords(
+      events.repartition(eventKey)
+        .sortWithinPartitions(eventKey, col("emit_info.block_height"),
+          col("emit_info.shard_id"), col("emit_info.receipt_id")),
+      prefix, allTopic)
+
   /** The metadata-topic delivery (events.rs:168-225
     * send_event_with_metadata): flattened+enriched per-token records
     * go to `<event_topic>_metadata` — a THIRD delivery alongside the

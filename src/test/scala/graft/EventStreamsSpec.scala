@@ -91,4 +91,69 @@ class EventStreamsSpec extends SparkSpec {
     // key = contract id when emit_info present (to_key)
     assert(recs.filter(col("key") === "nft.example.near").count() > 0)
   }
+
+  test("orderedKafkaRecords delivers each contract single-task and height-ascending") {
+    // events.rs:147-196 send_events iterates each contract group
+    // sequentially in block order (metadata via FuturesOrdered,
+    // events.rs:225-230). The Spark delivery obligation: ONE task per
+    // contract, records consecutive and (block_height, …)-ascending
+    // in producer-send (= partition-iteration) order.
+    val blocks = spark.read.format("graft.sources.BlockSource")
+      .option("startHeight", 9000).option("numBlocks", 40)
+      .option("logsPerBlock", 9).option("numPartitions", 4).load()
+    val events = EventStreams.validated(EventStreams.extractEvents(blocks))
+    val recs = EventStreams.orderedKafkaRecords(events, "nes", "nes.all")
+    val seen = recs.select(col("key"),
+        get_json_object(col("value"), "$.emit_info.block_height").cast("long").as("h"))
+      .rdd.mapPartitionsWithIndex { case (pid, it) =>
+        it.zipWithIndex.map { case (r, i) => (pid, i, r.getString(0), r.getLong(1)) }
+      }.collect()
+    assert(seen.nonEmpty)
+    val byKey = seen.groupBy(_._3)
+    assert(byKey.keySet.size > 1, "multi-contract feed")
+    byKey.foreach { case (k, rows) =>
+      assert(rows.map(_._1).distinct.length === 1,
+        s"contract $k spans ${rows.map(_._1).distinct.length} producers")
+      val hs = rows.sortBy(_._2).map(_._4)
+      assert(hs.sameElements(hs.sorted), s"contract $k delivered out of height order")
+    }
+  }
+
+  test("streamed pipeline preserves per-contract height order across micro-batches") {
+    // The cross-batch half of the guarantee: sequential micro-batches
+    // over the height-monotonic BlockSource, orderedKafkaRecords
+    // applied under foreachBatch (the sanctioned slot — streaming DFs
+    // reject sorts), and the concatenated per-contract delivery
+    // sequence observed at the sink must be height-ascending
+    // end-to-end.
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int, Int, String, Long)]()
+    val q = spark.readStream.format("graft.sources.BlockSource")
+      .option("startHeight", 9100).option("numBlocks", 30)
+      .option("logsPerBlock", 6).option("numPartitions", 3)
+      .option("blocksPerBatch", 10)
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val ev = EventStreams.validated(EventStreams.extractEvents(batch))
+        val recs = EventStreams.orderedKafkaRecords(ev, "nes", "nes.all")
+        recs.select(col("key"),
+            get_json_object(col("value"), "$.emit_info.block_height").cast("long").as("h"))
+          .rdd.mapPartitionsWithIndex { case (pid, it) =>
+            it.zipWithIndex.map { case (r, i) => (pid, i, r.getString(0), r.getLong(1)) }
+          }.collect().foreach { case (pid, i, k, h) => buf.add((batchId, pid, i, k, h)) }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val seen = buf.asScala.toSeq
+    assert(seen.map(_._1).distinct.length > 1, "multiple micro-batches ran")
+    seen.groupBy(_._4).foreach { case (k, rows) =>
+      // delivery order = (batch sequence, then within-partition index)
+      val hs = rows.sortBy(r => (r._1, r._3)).map(_._5)
+      assert(hs.sameElements(hs.sorted),
+        s"contract $k delivered out of height order across batches")
+    }
+  }
 }

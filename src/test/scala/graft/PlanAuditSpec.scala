@@ -360,7 +360,9 @@ class PlanAuditSpec extends SparkSpec {
       // ss19 broadcasts the 10-row query panel (ss01/ss08's pattern)
       "ss19_panel_recall",
       // ss20 broadcasts the 1-row packed-centroids aggregate (ss09)
-      "ss20_cluster_margin")
+      "ss20_cluster_margin",
+      // q47 broadcasts the 1-row tip-date aggregate (q33's pattern)
+      "q47_order_backlog")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

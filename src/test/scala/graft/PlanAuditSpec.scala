@@ -362,7 +362,9 @@ class PlanAuditSpec extends SparkSpec {
       // ss20 broadcasts the 1-row packed-centroids aggregate (ss09)
       "ss20_cluster_margin",
       // q47 broadcasts the 1-row tip-date aggregate (q33's pattern)
-      "q47_order_backlog")
+      "q47_order_backlog",
+      // pk13 broadcasts the 1-row shard-total aggregate
+      "pk13_shard_rebalance")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -106,4 +106,36 @@ object Rank {
       .withColumn(out, tile.cast("int"))
       .drop(kc, bc, "_off", "_n", "_gr")
   }
+
+  /** Skew-proof per-group top-K: appends `out` = row_number over
+    * `Window.partitionBy(keys).orderBy(order)` restricted to ranks
+    * ≤ k, WITHOUT ever sorting a whole group in one task.
+    *
+    * Two-phase: a deterministic salt (hash of `saltOn`) splits each
+    * group into `salts` sub-partitions; a local top-k inside each
+    * (group, salt) bounds every sort at the salt-bucket size and
+    * prunes the group to ≤ salts·k rows; the final per-group
+    * row_number runs on that pruned frame. Any row in the true
+    * top-k is also top-k within its salt bucket, so the pruning
+    * loses nothing — output is bit-identical to the naive window.
+    * The one-giant-group shape (per-language vocabulary, per-type
+    * event tails) is exactly what this replaces: the naive window
+    * funnels the group through one task.
+    *
+    * `saltOn` must be deterministic per row (e.g. the tiebreak
+    * column) — never rand(), which breaks retry/replay idempotence.
+    */
+  def topKByKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
+      k: Int, saltOn: Column, out: String = "rk",
+      salts: Int = 64): DataFrame = {
+    val sc = s"_salt_$out"; val lc = s"_lrk_$out"
+    df.withColumn(sc, pmod(xxhash64(saltOn), lit(salts)))
+      .withColumn(lc, row_number().over(
+        Window.partitionBy(keys :+ col(sc): _*).orderBy(order: _*)))
+      .filter(col(lc) <= k)
+      .withColumn(out, row_number().over(
+        Window.partitionBy(keys: _*).orderBy(order: _*)))
+      .filter(col(out) <= k)
+      .drop(sc, lc)
+  }
 }

@@ -156,23 +156,14 @@ object TextAnalysis {
     // within its salt bucket — no recall loss, bit-identical output.
     // vocab_size folds separately (plain count per lang, no window).
     "tx06_collect_tokens" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val tokFreq = Tables.documents(s, d)
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("lang"), col("tok"))
         .agg(count(lit(1)).as("freq"))
       val vsizes = tokFreq.groupBy(col("lang"))
         .agg(count(lit(1)).as("vocab_size"))
-      val pruned = tokFreq
-        .withColumn("salt", pmod(xxhash64(col("tok")), lit(64)))
-        .withColumn("lrk", row_number().over(
-          Window.partitionBy(col("lang"), col("salt"))
-            .orderBy(col("freq").desc, col("tok"))))
-        .filter(col("lrk") <= 50)
-      pruned
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("tok"))))
-        .filter(col("rk") <= 50)
+      Rank.topKByKey(tokFreq, Seq(col("lang")),
+          Seq(col("freq").desc, col("tok")), 50, saltOn = col("tok"))
         .groupBy(col("lang"))
         .agg(
           concat_ws(" ", transform(

@@ -101,6 +101,58 @@ object Sinks {
     fs.delete(backup, true)
   }
 
+  /** Partitioned write + `_MANIFEST.json`: the corpus-build contract
+    * that a dataset directory carries its own audit record (what
+    * pk07/pk12 compute as queries, persisted next to the data). The
+    * manifest is written AFTER the data commit, so its presence
+    * certifies a complete write — consumers that require it get
+    * all-or-nothing semantics on top of the dynamic-overwrite
+    * idempotence. Contents are deterministic (row/file/byte counts
+    * and per-partition-column row counts — no timestamps), so a
+    * re-run of identical input produces a byte-identical manifest.
+    * Counts come from ONE aggregate over the written files — reading
+    * back what was committed, not what the writer intended.
+    */
+  def parquetWithManifest(df: DataFrame, path: String,
+      partitionCols: Seq[String]): String = {
+    val spark = df.sparkSession
+    partitionedParquet(df, path, partitionCols)
+    val written = spark.read.parquet(path)
+    val nRows = written.count()
+    val perPart: Seq[(String, Seq[(String, Long)])] = partitionCols.map { c =>
+      c -> written.groupBy(col(c)).count().collect()
+        .map(r => (Option(r.get(0)).fold("null")(_.toString), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    }
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = {
+      val it = fs.listFiles(target, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          buf += ((f.getPath.getName, f.getLen))
+      }
+      buf.toSeq
+    }
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val partJson = perPart.map { case (c, vs) =>
+      s""""${esc(c)}":{${vs.map { case (v, n) => s""""${esc(v)}":$n""" }.mkString(",")}}"""
+    }.mkString(",")
+    val manifest =
+      s"""{"n_rows":$nRows,"n_files":${files.size},""" +
+        s""""total_bytes":${files.map(_._2).sum},""" +
+        s""""partitions":{$partJson}}"""
+    val mPath = new org.apache.hadoop.fs.Path(path, "_MANIFEST.json")
+    val out = fs.create(mPath, true)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    manifest
+  }
+
   /** Read the compacted store (empty frame with `schema` if nothing
     * has been written yet). A store that crashed between upsertByKey's
     * swap renames — no live target, backup present — reads from the

@@ -56,4 +56,29 @@ class Round6eSpec extends SparkSpec {
       assert(froms.intersect(tos).isEmpty)
     }
   }
+
+  test("Rank.topKByKey is bit-identical to the naive per-group window on skewed data") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // one giant group + several small ones, adversarial ties
+    val rows = (1 to 3000).map(i => ("giant", s"v${i % 700}", (i % 13).toLong)) ++
+      (1 to 40).map(i => ("small", s"v$i", (i % 5).toLong)) ++
+      Seq(("empty-ish", "x", 1L))
+    val df = rows.toDF("g", "v", "score")
+      .groupBy($"g", $"v").agg(sum($"score").as("score"))
+    val naive = df.withColumn("rk", row_number().over(
+        Window.partitionBy($"g").orderBy($"score".desc, $"v")))
+      .filter($"rk" <= 25)
+      .select($"g", $"v", $"rk").collect().map(_.toSeq).toSet
+    val salted = graft.operators.Rank.topKByKey(df, Seq($"g"),
+        Seq($"score".desc, $"v"), 25, saltOn = $"v")
+      .select($"g", $"v", $"rk").collect().map(_.toSeq).toSet
+    assert(salted === naive)
+    // plan shape: no window partitioned by g alone sorts the unpruned frame
+    // (the first window is keyed by (g, salt))
+    val plan = graft.operators.Rank.topKByKey(df, Seq($"g"),
+      Seq($"score".desc, $"v"), 25, saltOn = $"v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("_salt_rk"), plan.linesIterator.take(12).mkString("\n"))
+  }
 }

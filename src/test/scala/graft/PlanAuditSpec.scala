@@ -364,7 +364,9 @@ class PlanAuditSpec extends SparkSpec {
       // q47 broadcasts the 1-row tip-date aggregate (q33's pattern)
       "q47_order_backlog",
       // pk13 broadcasts the 1-row shard-total aggregate
-      "pk13_shard_rebalance")
+      "pk13_shard_rebalance",
+      // dd27 crosses two 1-row census aggregates (dd13's pattern)
+      "dd27_incremental_dedup")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -307,7 +307,7 @@ object Curation {
       cand
         .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
         .join(ds.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
-        .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("n_common", graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")))
         .withColumn("jaccard", Det.trunc4(
           col("n_common").cast("double") /
             (size(col("sh_a")) + size(col("sh_b")) - col("n_common"))))

@@ -83,7 +83,7 @@ object Dedup {
     * reported error while both oracles keep passing.
     */
   private[operators] def exactJaccard(a: Column, b: Column): Column = {
-    val common = size(array_intersect(a, b))
+    val common = graft.functions.IntersectCountExpr(a, b)
     graft.functions.Det.trunc4(
       common.cast("double") / (size(a) + size(b) - common))
   }

@@ -269,7 +269,7 @@ object Round4b {
         .join(ordered.select(col("doc_id").as("doc_a"), col("oshs").as("sh_a")), Seq("doc_a"))
         .join(ordered.select(col("doc_id").as("doc_b"), col("oshs").as("sh_b")), Seq("doc_b"))
         .withColumn("containment", Det.trunc4(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")).cast("double") /
             size(col("sh_a"))))
         .filter(col("containment") >= ContainT)
         .select(col("doc_a"), col("doc_b"), col("containment"))

@@ -294,9 +294,10 @@ object Round5d {
         .join(sh.select(col("doc_id").as("train_doc"), col("shs").as("shs_a")), Seq("train_doc"))
         .join(broadcast(sh.filter(col("is_eval"))
           .select(col("doc_id").as("eval_doc"), col("shs").as("shs_b"))), Seq("eval_doc"))
+        // |A∪B| = |A|+|B|−|A∩B| exactly: shs arrays are distinct
+        .withColumn("_common", graft.functions.IntersectCountExpr(col("shs_a"), col("shs_b")))
         .withColumn("j_fx",
-          expr("(CAST(size(array_intersect(shs_a, shs_b)) AS BIGINT) * 1000000)" +
-            " div size(array_union(shs_a, shs_b))"))
+          expr("(_common * 1000000) div (size(shs_a) + size(shs_b) - _common)"))
         .filter(col("j_fx") >= FuzzyJfx)
         .groupBy(col("train_doc"))
         .agg(max(col("j_fx")).as("best_j_fx"))

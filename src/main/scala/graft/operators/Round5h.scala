@@ -109,7 +109,7 @@ object Round5h {
         col("shs").as("sh_b"), col("sig").as("sig_b"))
       a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("inter", graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")))
         .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
         .withColumn("eq", zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)))

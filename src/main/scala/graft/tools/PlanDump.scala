@@ -35,7 +35,13 @@ object PlanDump {
     // round-5 final waves: capped-banding mitigation, exact-ntile
     // curriculum, the curate→dedup→pack e2e composition
     "dd23_capped_banding", "pk10_curriculum_phases",
-    "pk11_curate_pack_e2e", "ev39_session_profile")
+    "pk11_curate_pack_e2e", "ev39_session_profile",
+    // round-6 waves: rank-range octaves (no global sort), salted
+    // top-k, two-level packing prefix sum, value-frequency quartiles,
+    // incremental band probe, FK full-outer audit, residual PQ
+    "tx21_zipf_octaves", "tx06_collect_tokens", "mm08_interleaved_pack",
+    "q46_grouped_quartiles", "dd27_incremental_dedup",
+    "q48_referential_audit", "ss21_ivf_pq_residual", "dd25_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -366,7 +366,9 @@ class PlanAuditSpec extends SparkSpec {
       // pk13 broadcasts the 1-row shard-total aggregate
       "pk13_shard_rebalance",
       // dd27 crosses two 1-row census aggregates (dd13's pattern)
-      "dd27_incremental_dedup")
+      "dd27_incremental_dedup",
+      // ss23 broadcasts the single query row + 3-row nprobe frame (ss11)
+      "ss23_filtered_ann")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BinaryType, LongType, StringType}
-import graft.functions.{DotExpr, Hash64Expr}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType, StringType}
+import graft.functions.{DotExpr, Hash64Expr, IntersectCountExpr}
 
 /** Catalyst extensions: SQL function registration + an optimizer rule
   * that rewrites the portable hash pattern to the native expression.
@@ -33,8 +33,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotExpr].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotExpr(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => NativeHashRewrite)
+    e.injectOptimizerRule(_ => IntersectCountRewrite)
     e.injectPlannerStrategy(_ => AsOfStrategy)
   }
+}
+
+/** `size(array_intersect(a, b))` over `array<long>` →
+  * [[IntersectCountExpr]] (cast back to int — Size's type).
+  *
+  * The engine's own operators call the kernel explicitly; this rule
+  * gives USER queries written in portable built-ins the same fused
+  * primitive loop — the intersection array is never materialized when
+  * only its cardinality is consumed. Long element type only: that is
+  * the proven-equivalent domain (hash arrays), and non-null elements
+  * are the library's construction (the kernel ignores null slots,
+  * matching array_intersect on such inputs).
+  */
+object IntersectCountRewrite extends Rule[LogicalPlan] {
+  private def longNoNulls(e: Expression): Boolean = e.dataType match {
+    // containsNull must be provably false: ArrayData.toLongArray
+    // rejects null slots, so the rewrite stays conservative
+    case ArrayType(LongType, false) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ArrayIntersect(a, b), _) if longNoNulls(a) && longNoNulls(b) =>
+        Cast(IntersectCountExpr(a, b), org.apache.spark.sql.types.IntegerType)
+    }
 }
 
 /** `cast(conv(substr(md5(s),1,15),16,10) as bigint)` → `Hash64Expr(s)`. */

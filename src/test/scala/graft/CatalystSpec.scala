@@ -51,4 +51,20 @@ class CatalystSpec extends SparkSpec {
         .withColumn("b", reverse(col("a")))
     }
   }
+
+  test("IntersectCountRewrite swaps size(array_intersect) for the fused kernel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // non-literal arrays of non-nullable longs: ArrayType(LongType,
+    // containsNull = false) — the rule's proven-safe domain — and
+    // immune to constant folding collapsing the expression away
+    val df = spark.range(4)
+      .select(array(col("id"), col("id") + 1, col("id") * 2).as("a"),
+        array(col("id") + 1, col("id") + 2).as("b"))
+      .select(size(array_intersect(col("a"), col("b"))).as("n"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_intersect_count"),
+      s"rule did not fire:\n$optimized")
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(1, 1, 2, 1))
+  }
 }

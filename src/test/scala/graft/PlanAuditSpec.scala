@@ -269,9 +269,9 @@ class PlanAuditSpec extends SparkSpec {
     // Windows over frames bounded by CONSTRUCTION rather than by an
     // aggregate — each entry names the bound:
     val boundedByConstruction = Set(
-      // ss11 ranks the ≤nlist(=8) centroid rows against one query
+      // ss11/ss23 rank the ≤nlist(=8) centroid rows against one query
       // vector; the frame is the centroid table itself
-      "ss11_ivf_nprobe_eval")
+      "ss11_ivf_nprobe_eval", "ss23_filtered_ann")
     spark.conf.set("spark.graft.ntile.localThreshold", "0")
     try {
       SparkEntry.queries.keys.toSeq.sorted

@@ -36,7 +36,14 @@ object ClusterConf {
     * mode.
     */
   def apply(b: SparkSession.Builder, totalCores: Int): SparkSession.Builder =
-    b.config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // both registration routes: the conf string is what spark-submit
+    // ships to a cluster (static conf, read at CONTEXT creation), the
+    // builder-level instance is what activates the extensions when
+    // this builder constructs a session over an ALREADY-RUNNING
+    // SparkContext (notebooks, shared test JVMs) — there the static
+    // conf on the builder is silently ignored
+    b.withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

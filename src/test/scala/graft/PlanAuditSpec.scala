@@ -368,7 +368,11 @@ class PlanAuditSpec extends SparkSpec {
       // dd27 crosses two 1-row census aggregates (dd13's pattern)
       "dd27_incremental_dedup",
       // ss23 broadcasts the single query row + 3-row nprobe frame (ss11)
-      "ss23_filtered_ann")
+      "ss23_filtered_ann",
+      // tx26 broadcasts the 1-row (vocab size, corpus mass) aggregate
+      "tx26_topk_coverage",
+      // dd28 crosses two 1-row census aggregates (dd13's pattern)
+      "dd28_bloom_prefilter")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

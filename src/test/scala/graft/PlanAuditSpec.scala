@@ -372,7 +372,12 @@ class PlanAuditSpec extends SparkSpec {
       // tx26 broadcasts the 1-row (vocab size, corpus mass) aggregate
       "tx26_topk_coverage",
       // dd28 crosses two 1-row census aggregates (dd13's pattern)
-      "dd28_bloom_prefilter")
+      "dd28_bloom_prefilter",
+      // q50 probes 3 predicate-box rows against bounded zone-map
+      // aggregates (<=256 files/layout) — non-equi by nature
+      "q50_zorder_skipping",
+      // dd29 crosses two 1-row corpus-total aggregates for shares
+      "dd29_dedup_mix_shift")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

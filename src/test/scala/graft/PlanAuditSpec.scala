@@ -377,7 +377,10 @@ class PlanAuditSpec extends SparkSpec {
       // aggregates (<=256 files/layout) — non-equi by nature
       "q50_zorder_skipping",
       // dd29 crosses two 1-row corpus-total aggregates for shares
-      "dd29_dedup_mix_shift")
+      "dd29_dedup_mix_shift",
+      // ss25 broadcasts the 8-row centroid set, the 10-row panel and
+      // the 3-row nprobe frame (ss11's pattern, panel-wide)
+      "ss25_panel_nprobe")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

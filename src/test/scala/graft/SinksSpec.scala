@@ -29,6 +29,30 @@ class SinksSpec extends SparkSpec {
       (9L, "2024-01-02", "C2")))
   }
 
+  test("partitionedParquet layout prunes partitions at the scan") {
+    // the read-side contract of the partitioned layout: a filter on
+    // the partition column must become a PartitionFilter (directories
+    // never listed), not a row filter over a full scan — the property
+    // that makes a day-partitioned 100 TB store queryable by day
+    val path = tmpDir("sink_prune")
+    val days = (1 to 5).flatMap(d => Seq((d.toLong, f"2024-01-$d%02d", "x")))
+      .toDF("id", "day", "v")
+    Sinks.partitionedParquet(days, path, Seq("day"))
+    val q = spark.read.parquet(path).filter(col("day") === "2024-01-03")
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PartitionFilters: ["), formatted)
+    assert(formatted.contains("isnotnull(day") ||
+      formatted.matches("(?s).*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"), formatted)
+    // the pruned scan reads exactly the one matching partition
+    val scannedFiles = q.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scannedFiles === Seq(1), s"partitions scanned: $scannedFiles")
+    assert(q.count() === 1L)
+  }
+
   test("upsertByKey compacts to latest-per-key, honors tombstones, and is re-run idempotent") {
     val path = tmpDir("sink_upsert")
     val b1 = Seq(

@@ -67,11 +67,21 @@ object StreamJobs {
     * intentionally held back, matching the reference's behavior of
     * only emitting completed work.)
     */
-  def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800,
+      flushIdle: Boolean = true): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    // flushIdle=false turns off the processing-time timeout: pending
+    // timers keep an AvailableNow run alive past its data (the
+    // timeout batch is ~gap of WALL time away), so bounded replays —
+    // the oracle-gated ev51 — run with NoTimeout and deliberately
+    // hold back each key's trailing open session, the same
+    // "completed work only" cut the batch invocation produces.
+    val timeout =
+      if (flushIdle) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // idle key: close and evict
@@ -90,7 +100,7 @@ object StreamJobs {
               } else st = st.copy(last = t, n = st.n + 1)
             }
             state.update(st)
-            if (!state.hasTimedOut) {
+            if (flushIdle && !state.hasTimedOut) {
               try state.setTimeoutDuration(gapSec * 1000)
               catch { case _: UnsupportedOperationException => () } // batch: no timeouts
             }

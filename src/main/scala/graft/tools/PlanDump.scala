@@ -41,7 +41,14 @@ object PlanDump {
     // incremental band probe, FK full-outer audit, residual PQ
     "tx21_zipf_octaves", "tx06_collect_tokens", "mm08_interleaved_pack",
     "q46_grouped_quartiles", "dd27_incremental_dedup",
-    "q48_referential_audit", "ss21_ivf_pq_residual", "dd25_ngram_novelty")
+    "q48_referential_audit", "ss21_ivf_pq_residual", "dd25_ngram_novelty",
+    // round-6 late waves: zone-map skipping, closed-form packing
+    // contamination, bloom bit simulation, panel nprobe, explosion
+    // pre-flight via exact ntile, SCD2 windows, interval-arithmetic
+    // coverage curve
+    "q50_zorder_skipping", "pk15_boundary_window", "dd28_bloom_prefilter",
+    "ss25_panel_nprobe", "q53_join_explosion", "q52_scd2_intervals",
+    "tx26_topk_coverage", "ss24_shard_fanout")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

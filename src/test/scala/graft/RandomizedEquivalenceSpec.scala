@@ -288,4 +288,30 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("q50's Morton interleave is a bijection that preserves bucket-prefix locality") {
+    // the zone-map claims rest on two properties of the z-value:
+    // (a) (xb, yb) -> z is injective over the 8-bit × 8-bit grid, and
+    // (b) the top 8 bits of z are exactly interleave(xb >> 4, yb >> 4)
+    //     — i.e. a z-file fixes a 16-wide slice of BOTH dimensions.
+    // Drive the SAME SQL arithmetic the operator generates.
+    val rnd = new Random(31)
+    val pts = (0 until 400).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .distinct
+    val zExpr = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) * ${1L << (2 * i + 1)} + ((yb >> $i) & 1) * ${1L << (2 * i)})"
+    }.mkString(" + ")
+    val got = pts.toDF("xb", "yb")
+      .withColumn("z", expr(zExpr))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def refZ(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i + 1)) | (((y >> i) & 1) << (2 * i))).sum
+    got.foreach { case (x, y, z) =>
+      assert(z === refZ(x, y), s"($x,$y)")
+      assert(z >= 0 && z < 65536)
+      // top 8 bits = interleave of the two 4-bit prefixes
+      assert(z >> 8 === refZ(x >> 4, y >> 4), s"prefix ($x,$y)")
+    }
+    assert(got.map(_._3).distinct.length === got.length, "interleave not injective")
+  }
 }

@@ -380,7 +380,10 @@ class PlanAuditSpec extends SparkSpec {
       "dd29_dedup_mix_shift",
       // ss25 broadcasts the 8-row centroid set, the 10-row panel and
       // the 3-row nprobe frame (ss11's pattern, panel-wide)
-      "ss25_panel_nprobe")
+      "ss25_panel_nprobe",
+      // ss26 broadcasts the 10-row panel and the 10-row threshold
+      // table (the norm pass is an index-only scan against it)
+      "ss26_mips_norm_prune")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

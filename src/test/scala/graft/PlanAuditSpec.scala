@@ -383,7 +383,9 @@ class PlanAuditSpec extends SparkSpec {
       "ss25_panel_nprobe",
       // ss26 broadcasts the 10-row panel and the 10-row threshold
       // table (the norm pass is an index-only scan against it)
-      "ss26_mips_norm_prune")
+      "ss26_mips_norm_prune",
+      // ev56 broadcasts the 1-row global-tip aggregate (ev18's pattern)
+      "ev56_partition_watermark_skew")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -385,7 +385,11 @@ class PlanAuditSpec extends SparkSpec {
       // table (the norm pass is an index-only scan against it)
       "ss26_mips_norm_prune",
       // ev56 broadcasts the 1-row global-tip aggregate (ev18's pattern)
-      "ev56_partition_watermark_skew")
+      "ev56_partition_watermark_skew",
+      // tx31 broadcasts the 1-row doc-id bounds aggregate (decile keys)
+      "tx31_novelty_curve",
+      // pk17 broadcasts the 1-row token-total aggregate for loads
+      "pk17_worker_skew")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

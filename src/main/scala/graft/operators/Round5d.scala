@@ -327,7 +327,7 @@ object Round5d {
   /** mm07 oracle: the stripe phash recomputed character-wise (ASCII ⇒
     * ord(char) == payload byte), then the dd07 band-join recipe.
     */
-  private val duckPhash: String =
+  private[operators] val duckPhash: String =
     s"""SELECT doc_id AS media_id,
        |  CAST(SUM((CAST(ssum AS BIGINT) % 16) << (4 * s)) AS BIGINT) AS phash
        |FROM (

@@ -389,7 +389,9 @@ class PlanAuditSpec extends SparkSpec {
       // tx31 broadcasts the 1-row doc-id bounds aggregate (decile keys)
       "tx31_novelty_curve",
       // pk17 broadcasts the 1-row token-total aggregate for loads
-      "pk17_worker_skew")
+      "pk17_worker_skew",
+      // ss27 broadcasts the 10-row panel + 1-row id bounds (ss19)
+      "ss27_index_staleness")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -391,7 +391,9 @@ class PlanAuditSpec extends SparkSpec {
       // pk17 broadcasts the 1-row token-total aggregate for loads
       "pk17_worker_skew",
       // ss27 broadcasts the 10-row panel + 1-row id bounds (ss19)
-      "ss27_index_staleness")
+      "ss27_index_staleness",
+      // ev58 broadcasts the 1-row midpoint + 1-row half totals
+      "ev58_value_drift_tvd")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

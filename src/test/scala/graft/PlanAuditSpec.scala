@@ -393,7 +393,9 @@ class PlanAuditSpec extends SparkSpec {
       // ss27 broadcasts the 10-row panel + 1-row id bounds (ss19)
       "ss27_index_staleness",
       // ev58 broadcasts the 1-row midpoint + 1-row half totals
-      "ev58_value_drift_tvd")
+      "ev58_value_drift_tvd",
+      // q59 broadcasts the 1-row order-total aggregate for shares
+      "q59_benford_census")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

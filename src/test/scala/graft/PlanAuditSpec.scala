@@ -395,7 +395,10 @@ class PlanAuditSpec extends SparkSpec {
       // ev58 broadcasts the 1-row midpoint + 1-row half totals
       "ev58_value_drift_tvd",
       // q59 broadcasts the 1-row order-total aggregate for shares
-      "q59_benford_census")
+      "q59_benford_census",
+      // q60 probes the 16-row bitemporal cutoff grid (non-equi by
+      // nature, the q50 zone-map pattern)
+      "q60_bitemporal_grid")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

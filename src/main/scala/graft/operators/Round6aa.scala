@@ -11,8 +11,8 @@ import graft.functions.Hashing
   * Posture notes: q56 is the Pregel-style iterative pattern done as
   * unrolled equi-join rounds — every round is one join on the edge
   * key + one aggregate, rank tables stay entity-sized, and the edge
-  * subplan is byte-identical across rounds so Spark's ReuseExchange
-  * materializes it once. No collect, no driver loop: the round count
+  * table materializes once behind a barrier so the rounds never
+  * re-run the fact join. No collect, no driver loop: the round count
   * is a compile-time constant (the production shape for bounded
   * label/mass propagation; unbounded variants belong to the
   * checkpointed loop in [[Components]]). q57 folds each snapshot to
@@ -46,10 +46,15 @@ object Round6aa {
     // a supplier fed by well-connected customers outranks one with
     // the same volume from one captive buyer.
     "q56_supplier_pagerank" -> { (s, d) =>
-      val edges = Tables.lineitem(s, d)
+      // edges materialize ONCE (barrier) — the four propagation
+      // rounds reread the cached entity-sized table instead of
+      // re-running the fact join (ReuseExchange does not canonicalize
+      // across the differently-keyed downstream exchanges; measured
+      // 28 scans → 2 with the barrier)
+      val edges = Dedup.barrier(Tables.lineitem(s, d)
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .agg(count(lit(1)).cast("long").as("w"))
+        .agg(count(lit(1)).cast("long").as("w")))
       val outC = edges.groupBy(col("cust")).agg(sum(col("w")).as("out_c"))
       val outS = edges.groupBy(col("supp")).agg(sum(col("w")).as("out_s"))
       val base = lit((100L - DampPct) * Fx / 100L)

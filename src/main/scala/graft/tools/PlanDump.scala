@@ -48,7 +48,13 @@ object PlanDump {
     // coverage curve
     "q50_zorder_skipping", "pk15_boundary_window", "dd28_bloom_prefilter",
     "ss25_panel_nprobe", "q53_join_explosion", "q52_scd2_intervals",
-    "tx26_topk_coverage", "ss24_shard_fanout")
+    "tx26_topk_coverage", "ss24_shard_fanout",
+    // round-6 final waves: sublinear sketches, iterative graph
+    // rounds (exchange reuse), merkle summaries, bounded bitemporal
+    // grid probe, cascade dedup, novelty equi-agg
+    "q55_countmin_sketch", "q56_supplier_pagerank", "q57_merkle_diff",
+    "q60_bitemporal_grid", "mm12_dedup_cascade", "dd32_band_precision",
+    "tx31_novelty_curve", "ev58_value_drift_tvd")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -34,7 +34,7 @@ object Round6aa {
     * overflow even at 100 TB row counts per bucket).
     */
   private val MBuckets = 256L
-  private val MDigest = 2147483647L
+  private val MDigest = Merkle.DigestMod
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- q56: bipartite PageRank, bounded rounds -------------------------
@@ -55,24 +55,8 @@ object Round6aa {
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .agg(count(lit(1)).cast("long").as("w")))
-      val outC = edges.groupBy(col("cust")).agg(sum(col("w")).as("out_c"))
-      val outS = edges.groupBy(col("supp")).agg(sum(col("w")).as("out_s"))
-      val base = lit((100L - DampPct) * Fx / 100L)
-      def toSupp(custRanks: DataFrame): DataFrame =
-        edges.join(custRanks, Seq("cust")).join(outC, Seq("cust"))
-          .select(col("supp"), expr("(rank_c * w) div out_c").as("contrib"))
-          .groupBy(col("supp"))
-          .agg((base + expr(s"($DampPct * sum(contrib)) div 100")).as("rank_s"))
-      def toCust(suppRanks: DataFrame): DataFrame =
-        edges.join(suppRanks, Seq("supp")).join(outS, Seq("supp"))
-          .select(col("cust"), expr("(rank_s * w) div out_s").as("contrib"))
-          .groupBy(col("cust"))
-          .agg((base + expr(s"($DampPct * sum(contrib)) div 100")).as("rank_c"))
-      val r0 = edges.select(col("cust")).distinct().withColumn("rank_c", lit(Fx))
-      val finalS = (1 until Rounds).foldLeft(toSupp(r0)) { (sr, _) =>
-        toSupp(toCust(sr))
-      }
-      finalS.select(col("supp").as("l_suppkey"), col("rank_s").as("rank_fx"))
+      Graph.propagateBipartite(edges, "cust", "supp", Rounds, Fx, DampPct)
+        .select(col("supp").as("l_suppkey"), col("rank_fx"))
         .orderBy(col("rank_fx").desc, col("l_suppkey"))
         .limit(TopN)
     },
@@ -87,27 +71,16 @@ object Round6aa {
     // worklist, 256 rows whatever the table size.
     "q57_merkle_diff" -> { (s, d) =>
       def snapshot(cut: String, nCol: String, dCol: String): DataFrame =
-        Tables.orders(s, d)
-          .filter(col("o_orderdate") <= lit(cut).cast("timestamp"))
-          .select(
-            pmod(Hashing.hash64(col("o_orderkey").cast("string")), lit(MBuckets))
-              .as("bucket"),
-            (Hashing.hash64(concat_ws("|",
-              col("o_orderkey").cast("string"),
-              col("o_orderstatus"),
-              floor(col("o_totalprice") * 100).cast("long").cast("string")))
-              % lit(MDigest)).as("h"))
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).cast("long").as(nCol),
-            (sum(col("h")) % lit(MDigest)).cast("long").as(dCol))
-      val t1 = snapshot("1998-12-31", "n_t1", "digest_t1")
-      val t2 = snapshot("1999-12-31", "n_t2", "digest_t2")
-      t2.join(t1, Seq("bucket"), "left")
-        .withColumn("n_t1", coalesce(col("n_t1"), lit(0L)))
-        .withColumn("digest_t1", coalesce(col("digest_t1"), lit(0L)))
-        .withColumn("dirty",
-          col("n_t1") =!= col("n_t2") || col("digest_t1") =!= col("digest_t2"))
-        .withColumn("rows_delta", col("n_t2") - col("n_t1"))
+        Merkle.summarize(
+          Tables.orders(s, d)
+            .filter(col("o_orderdate") <= lit(cut).cast("timestamp")),
+          col("o_orderkey"),
+          Seq(col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long")),
+          MBuckets, nCol, dCol)
+      Merkle.diff(
+          snapshot("1998-12-31", "n_t1", "digest_t1"),
+          snapshot("1999-12-31", "n_t2", "digest_t2"))
         .select(col("bucket"), col("n_t1"), col("n_t2"),
           col("digest_t1"), col("digest_t2"), col("dirty"), col("rows_delta"))
         .orderBy(col("bucket"))

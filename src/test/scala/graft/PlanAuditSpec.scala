@@ -398,7 +398,9 @@ class PlanAuditSpec extends SparkSpec {
       "q59_benford_census",
       // q60 probes the 16-row bitemporal cutoff grid (non-equi by
       // nature, the q50 zone-map pattern)
-      "q60_bitemporal_grid")
+      "q60_bitemporal_grid",
+      // ev60 broadcasts the 1-row replay + event-span aggregates
+      "ev60_dedup_window_sweep")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

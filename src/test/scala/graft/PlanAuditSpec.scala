@@ -400,7 +400,11 @@ class PlanAuditSpec extends SparkSpec {
       // nature, the q50 zone-map pattern)
       "q60_bitemporal_grid",
       // ev60 broadcasts the 1-row replay + event-span aggregates
-      "ev60_dedup_window_sweep")
+      "ev60_dedup_window_sweep",
+      // ss28 broadcasts the 1-row hub-count aggregate
+      "ss28_mutual_knn",
+      // q63 broadcasts the 1-row row-total aggregate
+      "q63_range_plan")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

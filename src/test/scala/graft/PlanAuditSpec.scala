@@ -404,7 +404,11 @@ class PlanAuditSpec extends SparkSpec {
       // ss28 broadcasts the 1-row hub-count aggregate
       "ss28_mutual_knn",
       // q63 broadcasts the 1-row row-total aggregate
-      "q63_range_plan")
+      "q63_range_plan",
+      // pk18 broadcasts the 1-row doc-total + expectation aggregates
+      "pk18_shuffle_locality",
+      // ev61 broadcasts the 1-row error-budget baseline
+      "ev61_slo_burn_rate")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -408,7 +408,11 @@ class PlanAuditSpec extends SparkSpec {
       // pk18 broadcasts the 1-row doc-total + expectation aggregates
       "pk18_shuffle_locality",
       // ev61 broadcasts the 1-row error-budget baseline
-      "ev61_slo_burn_rate")
+      "ev61_slo_burn_rate",
+      // ss29 broadcasts the 1-row id-bounds aggregate
+      "ss29_centroid_drift",
+      // tx33 broadcasts the 1-row doc-total aggregate
+      "tx33_len_quality_joint")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -99,18 +99,12 @@ object Round6ah {
         .select(col("event_type"),
           Hashing.hash64(col("user_id").cast("string")).as("h"))
         .distinct()
-      val kth = Rank.topKByKey(hashed, Seq(col("event_type")),
-          Seq(col("h").asc), KmvK, saltOn = col("h"))
-        .groupBy(col("event_type"))
-        .agg(max(col("h")).as("h_k"), count(lit(1)).cast("long").as("n_kept"))
+      // below k the sketch keeps every distinct hash, so n_kept IS
+      // the true count — Sketch.kmvDistinct's exact-branch value
+      val kth = Sketch.kmvDistinct(hashed, Seq(col("event_type")), col("h"), KmvK)
       val truth = hashed.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_true"))
       truth.join(kth, Seq("event_type"))
-        .withColumn("est",
-          when(col("n_kept") < KmvK, col("n_true"))
-            .otherwise(expr(
-              s"${(KmvK - 1).toLong * HalfSpace} div greatest(h_k div $HalfSpace, 1)"))
-            .cast("long"))
         // floor division (pmod guard): err can be negative and Spark
         // `div` truncates toward zero where DuckDB `//` floors
         .withColumn("err_fx", expr(

@@ -36,12 +36,7 @@ object Round6z {
     * struct array — literal seeds so [[Hashing.hash64Seeded]] parity
     * with the oracle fragment holds.
     */
-  private def cmsRows(key: Column): Column =
-    array((0 until CmsD).map(sd => struct(
-      lit(sd).as("seed"),
-      pmod(Hashing.hash64Seeded(key, sd), lit(CmsW)).as("bucket"))): _*)
-
-  /** DuckDB twin of [[cmsRows]] over a CTE named `src` carrying
+  /** DuckDB twin of [[Sketch.cmsRows]] over a CTE named `src` carrying
     * `k`-keyed rows: one UNION ALL arm per seed.
     */
   private def duckCmsUnion(src: String, extraCols: String): String =
@@ -64,22 +59,16 @@ object Round6z {
         .groupBy(col("l_partkey"))
         .agg(count(lit(1)).cast("long").as("cnt"))
         .withColumn("k", col("l_partkey").cast("string"))
-      val sketch = keyed
-        .select(col("cnt"), explode(cmsRows(col("k"))).as("sb"))
-        .groupBy(col("sb.seed").as("seed"), col("sb.bucket").as("bucket"))
-        .agg(sum(col("cnt")).cast("long").as("counter"))
+      val sketch = Sketch.countMin(keyed, col("k"), col("cnt"), CmsD, CmsW)
       val top = keyed
         .orderBy(col("cnt").desc, col("l_partkey"))
         .limit(TopN)
-      top
-        .select(col("l_partkey"), col("cnt").as("true_cnt"),
-          explode(cmsRows(col("k"))).as("sb"))
-        .join(broadcast(sketch),
-          col("sb.seed") === sketch("seed") && col("sb.bucket") === sketch("bucket"))
-        .groupBy(col("l_partkey"), col("true_cnt"))
-        .agg(min(col("counter")).cast("long").as("est_cnt"))
-        .withColumn("over_cnt", col("est_cnt") - col("true_cnt"))
-        .select(col("l_partkey"), col("true_cnt"), col("est_cnt"), col("over_cnt"))
+      Sketch.cmsEstimate(sketch,
+          top.select(col("l_partkey"), col("cnt").as("true_cnt"), col("k")),
+          col("k"), CmsD, CmsW)
+        .withColumn("over_cnt", col("est") - col("true_cnt"))
+        .select(col("l_partkey"), col("true_cnt"), col("est").as("est_cnt"),
+          col("over_cnt"))
         .orderBy(col("true_cnt").desc, col("l_partkey"))
     },
 

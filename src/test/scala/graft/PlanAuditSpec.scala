@@ -412,7 +412,9 @@ class PlanAuditSpec extends SparkSpec {
       // ss29 broadcasts the 1-row id-bounds aggregate
       "ss29_centroid_drift",
       // tx33 broadcasts the 1-row doc-total aggregate
-      "tx33_len_quality_joint")
+      "tx33_len_quality_joint",
+      // ev62 crosses two 1-row census aggregates per gap arm
+      "ev62_state_store_sizing")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

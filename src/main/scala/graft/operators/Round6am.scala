@@ -60,13 +60,16 @@ object Round6am {
     // prefix over the bounded hour table, within-hour running sums
     // offset by the carry — exact, no global window.
     "ev62_state_store_sizing" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      // the per-user lag is gap-independent: compute it ONCE behind a
+      // barrier and let the three sweep arms reuse the cached frame
+      // (one fact window pass instead of three)
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val ev = Dedup.barrier(Tables.events(s, d)
         .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(wu)))
       val results = Gaps.map { g =>
         val gUs = g * 1000000L
-        val wu = Window.partitionBy(col("user_id")).orderBy(col("us"))
         val sessions = ev
-          .withColumn("prev_us", lag(col("us"), 1).over(wu))
           .withColumn("new_sess",
             when(col("prev_us").isNull ||
               col("us") - col("prev_us") > gUs, 1L).otherwise(0L))

@@ -414,7 +414,12 @@ class PlanAuditSpec extends SparkSpec {
       // tx33 broadcasts the 1-row doc-total aggregate
       "tx33_len_quality_joint",
       // ev62 crosses two 1-row census aggregates per gap arm
-      "ev62_state_store_sizing")
+      "ev62_state_store_sizing",
+      // q65 crosses per-edge 1-row stats aggregates
+      "q65_cardinality_error",
+      // ss30 inherits ss11's single-query broadcasts + the 1-row
+      // best-efficiency aggregate
+      "ss30_nprobe_knee")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

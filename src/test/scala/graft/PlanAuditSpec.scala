@@ -417,6 +417,8 @@ class PlanAuditSpec extends SparkSpec {
       "ev62_state_store_sizing",
       // q65 crosses per-edge 1-row stats aggregates
       "q65_cardinality_error",
+      // q66 broadcasts the 14-row lag frame against the day table
+      "q66_daily_autocorr",
       // ss30 inherits ss11's single-query broadcasts + the 1-row
       // best-efficiency aggregate
       "ss30_nprobe_knee")

@@ -419,6 +419,8 @@ class PlanAuditSpec extends SparkSpec {
       "q65_cardinality_error",
       // q66 broadcasts the 14-row lag frame against the day table
       "q66_daily_autocorr",
+      // q67 broadcasts the 1-row day-zero aggregate
+      "q67_trend_slope",
       // ss30 inherits ss11's single-query broadcasts + the 1-row
       // best-efficiency aggregate
       "ss30_nprobe_knee")

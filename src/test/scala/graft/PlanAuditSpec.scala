@@ -423,7 +423,9 @@ class PlanAuditSpec extends SparkSpec {
       "q67_trend_slope",
       // ss30 inherits ss11's single-query broadcasts + the 1-row
       // best-efficiency aggregate
-      "ss30_nprobe_knee")
+      "ss30_nprobe_knee",
+      // ss31 broadcasts the ≤10-row live panel (ss19's pattern)
+      "ss31_tombstone_ghosts")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

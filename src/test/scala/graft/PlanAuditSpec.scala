@@ -425,7 +425,9 @@ class PlanAuditSpec extends SparkSpec {
       // best-efficiency aggregate
       "ss30_nprobe_knee",
       // ss31 broadcasts the ≤10-row live panel (ss19's pattern)
-      "ss31_tombstone_ghosts")
+      "ss31_tombstone_ghosts",
+      // dd35 crosses the two |sources|-row signature aggregates
+      "dd35_source_sketch")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -27,15 +27,19 @@ object Det {
     s"floor(($expr) * $p) / $p"
   }
 
-  /** FLOOR division on the integer domain, sign-proof.
+  /** Sign-proof integer division matching the DuckDB oracle.
     *
-    * Spark's `div` truncates toward zero while DuckDB's `//` floors,
-    * so the two disagree on any negative numerator (e.g. a pre-epoch
-    * timestamp in regenerated testdata). Subtracting `pmod` makes the
-    * numerator exactly divisible, so `div` IS floor for any sign —
-    * the q34 recipe (operators/Round4b.scala), shared so every epoch
-    * day/hour/minute key uses the same guarded form.
+    * MEASURED (DuckDB 1.0.0, this container): integer `//` TRUNCATES
+    * toward zero (`-5 // 2 = -2`), exactly like Spark's `div` — so
+    * plain `div` is parity-exact against a plain `//` oracle for ANY
+    * sign, and the earlier pmod-floor guard here was the one thing
+    * that could break it (it floored the Spark side only, diverging
+    * on negative numerators; every caller's numerator was
+    * nonnegative, so gates stayed green either way). Callers that
+    * genuinely need FLOOR bucketing for negative keys must guard
+    * BOTH engine sides symmetrically, as q44 does with its
+    * `((x % N) + N) % N` day/hour keys (operators/Round5j.scala).
     */
   def floorDiv(numerator: String, divisor: Long): String =
-    s"(($numerator) - pmod($numerator, $divisor)) div $divisor"
+    s"($numerator) div $divisor"
 }

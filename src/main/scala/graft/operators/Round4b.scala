@@ -88,12 +88,13 @@ object Round4b {
       val e = Tables.events(s, d).select(col("event_type"),
         expr("unix_micros(ts)").as("t"),
         floor(col("value") * lit(1000000.0)).cast("long").as("v"))
-        // FLOOR division on the integer domain: subtracting pmod makes
-        // t exactly divisible, so div is floor for any sign — plain
-        // `div` truncates toward zero and would disagree with the
-        // oracle's `//` (which floors) on pre-epoch timestamps; double
-        // division could misround exactly at an hour boundary
-        .withColumn("hr", expr("(t - pmod(t, 3600000000)) div 3600000000"))
+        // integer `div` matches the oracle's `//` exactly for any
+        // sign — BOTH truncate toward zero (measured on this DuckDB;
+        // see Det.floorDiv's scaladoc — the earlier one-sided pmod
+        // floor guard here was the construction that could diverge on
+        // pre-epoch timestamps); double division could misround
+        // exactly at an hour boundary, so stay on the integer domain
+        .withColumn("hr", expr("t div 3600000000"))
       val hourly = e.groupBy(col("event_type"), col("hr"))
         .agg(count(lit(1)).as("n_h"), sum(col("v")).as("s_h"),
           sum(col("v").cast(dec) * col("v").cast(dec)).as("q_h"))

@@ -105,10 +105,9 @@ object Round6ah {
       val truth = hashed.groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n_true"))
       truth.join(kth, Seq("event_type"))
-        // floor division (pmod guard): err can be negative and Spark
-        // `div` truncates toward zero where DuckDB `//` floors
-        .withColumn("err_fx", expr(
-          s"(((est - n_true) * $Fx) - pmod((est - n_true) * $Fx, n_true)) div n_true"))
+        // err can be negative: plain `div` matches DuckDB `//` for
+        // any sign — both truncate (see Det.floorDiv's scaladoc)
+        .withColumn("err_fx", expr(s"((est - n_true) * $Fx) div n_true"))
         .select(col("event_type"), col("n_true"), col("h_k"), col("est"),
           col("err_fx"))
         .orderBy(col("event_type"))

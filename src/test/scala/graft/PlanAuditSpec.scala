@@ -427,7 +427,9 @@ class PlanAuditSpec extends SparkSpec {
       // ss31 broadcasts the ≤10-row live panel (ss19's pattern)
       "ss31_tombstone_ghosts",
       // dd35 crosses the two |sources|-row signature aggregates
-      "dd35_source_sketch")
+      "dd35_source_sketch",
+      // q68 broadcasts the 1-row control-arm baseline
+      "q68_ab_lift")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

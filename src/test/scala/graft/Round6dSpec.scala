@@ -38,7 +38,11 @@ class Round6dSpec extends SparkSpec {
     }
   }
 
-  test("Det.floorDiv matches mathematical floor division for any sign") {
+  test("Det.floorDiv matches DuckDB's measured truncating // for any sign") {
+    // MEASURED: DuckDB 1.0.0 integer `//` truncates toward zero
+    // (-5 // 2 = -2), exactly like Spark `div` and Scala Long `/` —
+    // so the parity-exact primitive is plain truncation on BOTH
+    // sides, NOT a one-sided floor guard (see Det.floorDiv scaladoc)
     import spark.implicits._
     val vals = Seq(-1000000007L, -86400000001L, -86400000000L, -1L, 0L, 1L,
       86399999999L, 86400000000L, 86400000001L, 123456789012L)
@@ -46,7 +50,7 @@ class Round6dSpec extends SparkSpec {
       .withColumn("got", expr(graft.functions.Det.floorDiv("x", 86400000000L)))
       .collect()
     df.foreach { r =>
-      assert(r.getAs[Long]("got") === Math.floorDiv(r.getAs[Long]("x"), 86400000000L),
+      assert(r.getAs[Long]("got") === r.getAs[Long]("x") / 86400000000L,
         s"x=${r.getAs[Long]("x")}")
     }
   }

@@ -429,7 +429,11 @@ class PlanAuditSpec extends SparkSpec {
       // dd35 crosses the two |sources|-row signature aggregates
       "dd35_source_sketch",
       // q68 broadcasts the 1-row control-arm baseline
-      "q68_ab_lift")
+      "q68_ab_lift",
+      // dd36 crosses the 1-row edge-count aggregate
+      "dd36_transitivity",
+      // q69 broadcasts the 1-row totals + peak aggregates
+      "q69_cusum_changepoint")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

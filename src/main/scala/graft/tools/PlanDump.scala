@@ -54,7 +54,15 @@ object PlanDump {
     // grid probe, cascade dedup, novelty equi-agg
     "q55_countmin_sketch", "q56_supplier_pagerank", "q57_merkle_diff",
     "q60_bitemporal_grid", "mm12_dedup_cascade", "dd32_band_precision",
-    "tx31_novelty_curve", "ev58_value_drift_tvd")
+    "tx31_novelty_curve", "ev58_value_drift_tvd",
+    // round-6 last waves: KMV bottom-k, exact range plan, two-level
+    // peak concurrency, bounded-grid interpolation, dual-pipeline
+    // agreement, wedge-closure graph audit, bucketed kNN graph,
+    // part-partitioned ledger, integer CUSUM, A/A-calibrated lift
+    "q61_kmv_distinct", "q63_range_plan", "ev62_state_store_sizing",
+    "ev63_resample_interpolate", "dd33_method_agreement",
+    "dd36_transitivity", "ss28_mutual_knn", "q64_depletion_ledger",
+    "q69_cusum_changepoint", "q68_ab_lift")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -433,7 +433,9 @@ class PlanAuditSpec extends SparkSpec {
       // dd36 crosses the 1-row edge-count aggregate
       "dd36_transitivity",
       // q69 broadcasts the 1-row totals + peak aggregates
-      "q69_cusum_changepoint")
+      "q69_cusum_changepoint",
+      // ev67 broadcasts the 1-row qualifying-user total
+      "ev67_bot_regularity")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -270,8 +270,9 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate — each entry names the bound:
     val boundedByConstruction = Set(
       // ss11/ss23 rank the ≤nlist(=8) centroid rows against one query
-      // vector; the frame is the centroid table itself
-      "ss11_ivf_nprobe_eval", "ss23_filtered_ann")
+      // vector; the frame is the centroid table itself — ss30 wraps
+      // ss11 and inherits exactly that window
+      "ss11_ivf_nprobe_eval", "ss23_filtered_ann", "ss30_nprobe_knee")
     spark.conf.set("spark.graft.ntile.localThreshold", "0")
     try {
       SparkEntry.queries.keys.toSeq.sorted
@@ -281,11 +282,18 @@ class PlanAuditSpec extends SparkSpec {
         plan.foreach {
           case w: LWindow if w.partitionSpec.isEmpty =>
             // admissible bounds: an Aggregate (group-table-sized frame)
-            // or a Limit (≤K rows) anywhere beneath the window
+            // or a Limit (≤K rows) anywhere beneath the window — also
+            // when the bound hides inside an InMemoryRelation: the
+            // CacheManager substitutes a cached twin (e.g. another
+            // query barriered the identical aggregate frame), so the
+            // Aggregate lives in the cached physical plan, not the
+            // logical tree
             val bounded = w.child.collectFirst {
               case a: Aggregate => a: LogicalPlan
               case l: GlobalLimit => l
               case l: LocalLimit => l
+              case m: org.apache.spark.sql.execution.columnar.InMemoryRelation
+                if m.cachedPlan.toString.contains("Aggregate") => m
             }.nonEmpty
             assert(bounded,
               s"$name: unpartitioned window over un-aggregated input:\n$w")

@@ -69,7 +69,9 @@ object Round6am {
         .withColumn("prev_us", lag(col("us"), 1).over(wu)))
       val results = Gaps.map { g =>
         val gUs = g * 1000000L
-        val sessions = ev
+        // each arm reads its session table twice (delta stream +
+        // count): cache it so the window pass runs once per arm
+        val sessions = Dedup.barrierAlso(ev
           .withColumn("new_sess",
             when(col("prev_us").isNull ||
               col("us") - col("prev_us") > gUs, 1L).otherwise(0L))
@@ -77,7 +79,7 @@ object Round6am {
             wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("sess_id"))
           .agg(min(col("us")).as("start_us"),
-            (max(col("us")) + gUs).as("evict_us"))
+            (max(col("us")) + gUs).as("evict_us")))
         val deltas = sessions.select(
           explode(array(
             struct(col("start_us").as("t"), lit(1L).as("delta")),

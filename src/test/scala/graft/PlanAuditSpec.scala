@@ -443,7 +443,9 @@ class PlanAuditSpec extends SparkSpec {
       // q69 broadcasts the 1-row totals + peak aggregates
       "q69_cusum_changepoint",
       // ev67 broadcasts the 1-row qualifying-user total
-      "ev67_bot_regularity")
+      "ev67_bot_regularity",
+      // pk19 broadcasts the 1-row id-bounds aggregate
+      "pk19_write_amplification")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -445,7 +445,9 @@ class PlanAuditSpec extends SparkSpec {
       // ev67 broadcasts the 1-row qualifying-user total
       "ev67_bot_regularity",
       // pk19 broadcasts the 1-row id-bounds aggregate
-      "pk19_write_amplification")
+      "pk19_write_amplification",
+      // ss33 broadcasts the 10-row panel + 3-row dim frame (ss19)
+      "ss33_matryoshka_recall")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -447,7 +447,11 @@ class PlanAuditSpec extends SparkSpec {
       // pk19 broadcasts the 1-row id-bounds aggregate
       "pk19_write_amplification",
       // ss33 broadcasts the 10-row panel + 3-row dim frame (ss19)
-      "ss33_matryoshka_recall")
+      "ss33_matryoshka_recall",
+      // q73 broadcasts the 1-row date bounds + half totals
+      "q73_ks_test",
+      // ev70 inherits ev61's 1-row baseline broadcast
+      "ev70_alert_debounce")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -451,7 +451,9 @@ class PlanAuditSpec extends SparkSpec {
       // q73 broadcasts the 1-row date bounds + half totals
       "q73_ks_test",
       // ev70 inherits ev61's 1-row baseline broadcast
-      "ev70_alert_debounce")
+      "ev70_alert_debounce",
+      // ev71 broadcasts the 1-row traffic baseline + lift aggregate
+      "ev71_overload_errors")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

@@ -62,7 +62,12 @@ object PlanDump {
     "q61_kmv_distinct", "q63_range_plan", "ev62_state_store_sizing",
     "ev63_resample_interpolate", "dd33_method_agreement",
     "dd36_transitivity", "ss28_mutual_knn", "q64_depletion_ledger",
-    "q69_cusum_changepoint", "q68_ab_lift")
+    "q69_cusum_changepoint", "q68_ab_lift",
+    // closing waves: double histogram-CDF MAD, closed-form jackknife
+    // CI, exact KS over bounded CDFs, truncation-recall sweep,
+    // dual-layout write amplification
+    "q71_mad_robust", "dd37_estimator_ci", "q73_ks_test",
+    "ss33_matryoshka_recall", "pk19_write_amplification")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -27,19 +27,25 @@ object Det {
     s"floor(($expr) * $p) / $p"
   }
 
-  /** Sign-proof integer division matching the DuckDB oracle.
+  /** Truncating integer division matching the DuckDB oracle.
     *
     * MEASURED (DuckDB 1.0.0, this container): integer `//` TRUNCATES
     * toward zero (`-5 // 2 = -2`), exactly like Spark's `div` — so
     * plain `div` is parity-exact against a plain `//` oracle for ANY
-    * sign, and the earlier pmod-floor guard here was the one thing
-    * that could break it (it floored the Spark side only, diverging
-    * on negative numerators; every caller's numerator was
-    * nonnegative, so gates stayed green either way). Callers that
-    * genuinely need FLOOR bucketing for negative keys must guard
-    * BOTH engine sides symmetrically, as q44 does with its
-    * `((x % N) + N) % N` day/hour keys (operators/Round5j.scala).
+    * sign. This is NOT floor division: callers that genuinely need
+    * FLOOR bucketing for negative keys must guard BOTH engine sides
+    * symmetrically, as q44 does with its `((x % N) + N) % N`
+    * day/hour keys (operators/Round5j.scala).
     */
-  def floorDiv(numerator: String, divisor: Long): String =
+  def truncDiv(numerator: String, divisor: Long): String =
     s"($numerator) div $divisor"
+
+  /** Historical alias of [[truncDiv]] — the name predates the
+    * round-6 measurement that established the truncation contract;
+    * the behavior was and is truncating, never floor. Prefer
+    * [[truncDiv]] in new code.
+    */
+  @deprecated("use truncDiv — the emitted division truncates, it does not floor", "round-7")
+  def floorDiv(numerator: String, divisor: Long): String =
+    truncDiv(numerator, divisor)
 }

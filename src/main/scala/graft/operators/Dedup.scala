@@ -107,7 +107,11 @@ object Dedup {
 
   /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
   private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docShinglesOf(Tables.documents(s, d))
+
+  /** Frame-input variant, for specs feeding crafted corpora. */
+  private[graft] def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), shingleHashes(col("toks")).as("shs"))
@@ -247,9 +251,16 @@ object Dedup {
     "dd02_ngram_jaccard" -> { (s, d) =>
       val ds = barrier(docShingles(s, d)
         .withColumn("bucket", array_min(col("shs"))))
+      // hot-bucket cap (VERDICT r6): one globally-common shingle
+      // hashing low would put a corpus fraction in ONE bucket — a
+      // Σ DF² pair blowup at 100 TB. Buckets over MinBucketCap are
+      // dropped before the self-join (dd23's recipe; dd23 prices the
+      // recall cost of exactly this move). Testdata max occupancy is
+      // 19 at sf0.1, so the cap is invisible to the gates.
+      val kept = minBucketKept(ds)
       val a = ds.select(col("bucket"), col("doc_id").as("doc_a"), col("shs").as("sh_a"))
       val b = ds.select(col("bucket"), col("doc_id").as("doc_b"), col("shs").as("sh_b"))
-      a.join(b, Seq("bucket"))
+      a.join(kept, Seq("bucket")).join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("jaccard", exactJaccard(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.2)
@@ -286,6 +297,22 @@ object Dedup {
         .orderBy(col("label"), col("vec_a"), col("vec_b"))
     }
   )
+
+  /** Hot-bucket occupancy cap for the min-shingle candidate join
+    * (dd02/dd12): buckets with more members are dropped before the
+    * self-join, bounding worst-case pair fanout at MinBucketCap²/2
+    * per bucket regardless of corpus skew. 128 is far above the
+    * honest-data occupancy (19 at sf0.1) and far below the
+    * adversarial blowup it guards against; dd23 is the operator that
+    * PRICES this cap's recall cost on the banded pipeline.
+    */
+  val MinBucketCap = 128
+
+  /** The kept-bucket filter side (bucket column only — slim). */
+  private[graft] def minBucketKept(ds: DataFrame): DataFrame =
+    ds.groupBy(col("bucket")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= MinBucketCap)
+      .select(col("bucket"))
 
   private[operators] val duckToks = """string_split_regex(trim(text), '\s+')"""
 
@@ -361,11 +388,15 @@ object Dedup {
       s"""WITH ds AS (
          |  SELECT doc_id, shs, list_min(shs) AS bucket
          |  FROM (SELECT doc_id, $duckShs AS shs FROM documents
-         |        WHERE len($duckToks) >= 3))
+         |        WHERE len($duckToks) >= 3)),
+         |kept AS (
+         |  SELECT bucket FROM ds GROUP BY bucket
+         |  HAVING COUNT(*) <= $MinBucketCap)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
          |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) * 10000) / 10000 AS jaccard
-         |FROM ds a JOIN ds b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM ds a JOIN kept USING (bucket)
+         |          JOIN ds b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |WHERE floor((CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) /
          |        (len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)))) * 10000) / 10000 >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,

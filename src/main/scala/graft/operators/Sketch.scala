@@ -33,15 +33,22 @@ object Sketch {
   /** Point-estimate keys against a sketch: returns `probe` plus an
     * `est` column = min over the d counters (never undercounts).
     * The sketch side is broadcast (d·w rows).
+    *
+    * LEFT join + coalesce-to-0 (ADVICE r6): a probe key hashing to a
+    * (seed, bucket) with no build-side mass has a true CMS counter of
+    * 0 — an inner join would silently take the min over fewer than d
+    * counters (or drop the key entirely), inflating estimates for
+    * keys outside the build set.
     */
   def cmsEstimate(sketch: DataFrame, probe: DataFrame, key: Column,
       d: Int, w: Long): DataFrame = {
     val exploded = probe.withColumn("_sb", explode(cmsRows(key, d, w)))
     exploded.join(broadcast(sketch),
         col("_sb.seed") === sketch("seed") &&
-          col("_sb.bucket") === sketch("bucket"))
+          col("_sb.bucket") === sketch("bucket"), "left")
+      .withColumn("_counter", coalesce(col("counter"), lit(0L)))
       .groupBy(probe.columns.map(col): _*)
-      .agg(min(col("counter")).cast("long").as("est"))
+      .agg(min(col("_counter")).cast("long").as("est"))
   }
 
   /** KMV distinct-count estimate per group: `df` must carry distinct

@@ -394,11 +394,15 @@ object Round3 {
       val base = Dedup.barrier(Dedup.docShingles(s, d)
         .withColumn("sig", Dedup.minhashSig(col("shs")))
         .withColumn("bucket", array_min(col("shs"))))
+      // same hot-bucket cap as dd02 (Dedup.MinBucketCap) — the two
+      // share the min-shingle candidate definition, so they must
+      // share its Σ DF² guard too
+      val kept = Dedup.minBucketKept(base)
       val a = base.select(col("bucket"), col("doc_id").as("doc_a"),
         col("shs").as("sh_a"), col("sig").as("sig_a"))
       val b = base.select(col("bucket"), col("doc_id").as("doc_b"),
         col("shs").as("sh_b"), col("sig").as("sig_b"))
-      a.join(b, Seq("bucket"))
+      a.join(kept, Seq("bucket")).join(b, Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
         .withColumn("jaccard", Dedup.exactJaccard(col("sh_a"), col("sh_b")))
         .withColumn("mh_est", Det.trunc4(
@@ -722,12 +726,16 @@ object Round3 {
       s"""WITH sh_t AS (
          |  SELECT doc_id, shs, $sigList AS sig, list_min(shs) AS bucket
          |  FROM (SELECT doc_id, ${Dedup.duckShs} AS shs FROM documents
-         |        WHERE len(${Dedup.duckToks}) >= 3))
+         |        WHERE len(${Dedup.duckToks}) >= 3)),
+         |kept AS (
+         |  SELECT bucket FROM sh_t GROUP BY bucket
+         |  HAVING COUNT(*) <= ${Dedup.MinBucketCap})
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  ${Det.duckTrunc(jac, 4)} AS jaccard,
          |  ${Det.duckTrunc(est, 4)} AS mh_est,
          |  ${Det.duckTrunc(s"abs((${Det.duckTrunc(est, 4)}) - (${Det.duckTrunc(jac, 4)}))", 4)} AS abs_err
-         |FROM sh_t a JOIN sh_t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |FROM sh_t a JOIN kept USING (bucket)
+         |            JOIN sh_t b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 

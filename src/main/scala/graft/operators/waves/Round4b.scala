@@ -90,7 +90,7 @@ object Round4b {
         floor(col("value") * lit(1000000.0)).cast("long").as("v"))
         // integer `div` matches the oracle's `//` exactly for any
         // sign — BOTH truncate toward zero (measured on this DuckDB;
-        // see Det.floorDiv's scaladoc — the earlier one-sided pmod
+        // see Det.truncDiv's scaladoc — the earlier one-sided pmod
         // floor guard here was the construction that could diverge on
         // pre-epoch timestamps); double division could misround
         // exactly at an hour boundary, so stay on the integer domain

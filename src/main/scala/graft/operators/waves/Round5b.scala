@@ -148,12 +148,13 @@ object Round5b {
     // PROVES merged == direct for every published stat (the q23
     // decimal-moments recipe keeps the float sums engine-exact).
     // n_partials doubles as the census of incremental units. Day
-    // bucketing is pmod-guarded integer floor division (Det.floorDiv),
-    // immune to the div-vs-floor and timezone traps for any sign.
+    // bucketing is truncating integer division (Det.truncDiv) —
+    // parity-exact against the oracle's `//` for any sign because
+    // BOTH engines truncate toward zero (see Det.truncDiv scaladoc).
     "q38_incr_merge" -> { (s, d) =>
       val dayUs = 86400000000L
       val partials = Tables.events(s, d)
-        .withColumn("day", expr(graft.functions.Det.floorDiv("unix_micros(ts)", dayUs)))
+        .withColumn("day", expr(graft.functions.Det.truncDiv("unix_micros(ts)", dayUs)))
         .withColumn("v", col("value").cast("decimal(18,6)"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("pn"),

@@ -51,7 +51,7 @@ object Round5c {
     "q39_rolling_mau" -> { (s, d) =>
       val ud = Tables.events(s, d)
         .select(col("user_id"),
-          expr(graft.functions.Det.floorDiv("unix_micros(ts)", DayUs)).as("day"))
+          expr(graft.functions.Det.truncDiv("unix_micros(ts)", DayUs)).as("day"))
         .distinct()
       val mx = ud.agg(max(col("day")).as("max_day"))
       ud.select(col("user_id"), col("day"),

@@ -68,7 +68,7 @@ object Round5j {
       Tables.events(s, d)
         .select(col("event_type"), unix_micros(col("ts")).as("us"))
         .withColumn("dow", expr(
-          s"((${graft.functions.Det.floorDiv("us", 86400000000L)} + 4) % 7 + 7) % 7").cast("int"))
+          s"((${graft.functions.Det.truncDiv("us", 86400000000L)} + 4) % 7 + 7) % 7").cast("int"))
         .withColumn("hour", expr("(((us % 86400000000) + 86400000000) % 86400000000) div 3600000000").cast("int"))
         .groupBy(col("event_type"), col("dow"), col("hour"))
         .agg(count(lit(1)).as("n"))
@@ -157,7 +157,8 @@ object Round5j {
          |  SELECT event_type, dow, hour, CAST(COUNT(*) AS BIGINT) AS n
          |  FROM e GROUP BY event_type, dow, hour)
          |SELECT event_type, dow, hour, n,
-         |  (n * $Fx) // SUM(n) OVER (PARTITION BY event_type) AS share_fx
+         |  CAST((n * $Fx) // SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+         |    AS share_fx
          |FROM c ORDER BY event_type, dow, hour""".stripMargin,
 
     "tx21_zipf_octaves" ->

@@ -65,7 +65,7 @@ object Round5m {
     "ev37_burst_minutes" -> { (s, d) =>
       burstCensus(Tables.events(s, d)
         .select(col("event_type"),
-          expr(graft.functions.Det.floorDiv("unix_micros(ts)", 60000000L)).as("minute"))
+          expr(graft.functions.Det.truncDiv("unix_micros(ts)", 60000000L)).as("minute"))
         .groupBy(col("event_type"), col("minute"))
         .agg(count(lit(1)).as("n")))
     },

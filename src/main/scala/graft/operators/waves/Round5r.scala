@@ -35,7 +35,7 @@ object Round5r {
     // days×types table. drift_fx ∈ [0, 2e6] (2.0 = disjoint mixes).
     "ev40_mix_drift" -> { (s, d) =>
       val cells = Tables.events(s, d)
-        .select(expr(graft.functions.Det.floorDiv("unix_micros(ts)", 86400000000L)).as("day"),
+        .select(expr(graft.functions.Det.truncDiv("unix_micros(ts)", 86400000000L)).as("day"),
           col("event_type"))
         .groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -28,19 +28,18 @@ object Round5u {
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
-      val centRows = e.select(col("label"), posexplode(col("emb")))
+      // centroid table stays a DataFrame end-to-end (VERDICT r6 #8):
+      // the K-row frame flows straight into the 1-row packed
+      // broadcast — no driver collect/re-parallelize round-trip
+      val cents = e.select(col("label"), posexplode(col("emb")))
         .groupBy(col("label"), col("pos"))
         .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
           count(lit(1))).as("c"))
         .groupBy(col("label"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           x => x.getField("c")).as("cent"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-      val cents = {
-        import s.implicits._
-        centRows.toSeq.toDF("clbl", "cent")
-          .withColumn("c_norm", Similarity.l2norm(col("cent")))
-      }
+        .select(col("label").as("clbl"), col("cent"))
+        .withColumn("c_norm", Similarity.l2norm(col("cent")))
       val packed = cents.agg(array_sort(collect_list(
         struct(col("clbl"), col("cent"), col("c_norm")))).as("cs"))
       // Zero-norm guard: a zero vector (or a degenerate centroid)

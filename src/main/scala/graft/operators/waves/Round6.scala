@@ -35,7 +35,7 @@ object Round6 {
     "ev41_new_returning" -> { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("user_id"),
-          expr(Det.floorDiv("unix_micros(ts)", DayUs)).as("day"))
+          expr(Det.truncDiv("unix_micros(ts)", DayUs)).as("day"))
       val daily = e.groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("n_ev"))
       daily

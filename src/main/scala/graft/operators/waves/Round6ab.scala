@@ -40,7 +40,7 @@ object Round6ab {
     "ev57_consumer_sizing" -> { (s, d) =>
       val perMin = Tables.events(s, d)
         .select(col("event_type"),
-          expr(Det.floorDiv("unix_micros(ts)", 60000000L)).as("minute"))
+          expr(Det.truncDiv("unix_micros(ts)", 60000000L)).as("minute"))
         .groupBy(col("event_type"), col("minute"))
         .agg(count(lit(1)).cast("long").as("n"))
       perMin.groupBy(col("event_type"))

@@ -106,7 +106,7 @@ object Round6ah {
         .agg(count(lit(1)).cast("long").as("n_true"))
       truth.join(kth, Seq("event_type"))
         // err can be negative: plain `div` matches DuckDB `//` for
-        // any sign — both truncate (see Det.floorDiv's scaladoc)
+        // any sign — both truncate (see Det.truncDiv's scaladoc)
         .withColumn("err_fx", expr(s"((est - n_true) * $Fx) div n_true"))
         .select(col("event_type"), col("n_true"), col("h_k"), col("est"),
           col("err_fx"))

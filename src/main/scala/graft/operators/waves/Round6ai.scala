@@ -89,8 +89,11 @@ object Round6ai {
         .agg(sum(when(col("is_touch"), 1L).otherwise(0L)).cast("long").as("n_touches"))
       val credits = touched.filter(col("is_touch"))
         .join(perConv.select(col("p_id"), col("n_touches")), Seq("p_id"))
+        // symmetric ((h % 24) + 24) % 24 guard on BOTH engine sides
+        // (ADVICE r6): truncating div + truncating % in both engines,
+        // so the hour key is parity-exact even for pre-epoch micros
         .withColumn("hour",
-          expr(s"pmod(${Det.floorDiv("c_us", 3600000000L)}, 24)").cast("int"))
+          expr(s"(((${Det.truncDiv("c_us", 3600000000L)}) % 24 + 24) % 24)").cast("int"))
         .withColumn("credit_cents", expr("cents div n_touches"))
         .groupBy(col("hour"))
         .agg(count(lit(1)).cast("long").as("n_touches"),
@@ -150,7 +153,7 @@ object Round6ai {
          |      AS n_touches
          |  FROM t GROUP BY 1, 2),
          |cr AS (
-         |  SELECT CAST((t.c_us // 3600000000) % 24 AS INT) AS hour,
+         |  SELECT CAST(((t.c_us // 3600000000) % 24 + 24) % 24 AS INT) AS hour,
          |    CAST(COUNT(*) AS BIGINT) AS n_touches,
          |    CAST(SUM(t.cents // pc.n_touches) AS BIGINT) AS credited_cents
          |  FROM t JOIN pc USING (p_id) WHERE t.is_touch

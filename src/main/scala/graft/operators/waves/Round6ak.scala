@@ -64,7 +64,7 @@ object Round6ak {
     // broadcast.
     "ev61_slo_burn_rate" -> { (s, d) =>
       val ev = Tables.events(s, d)
-        .select(expr(Det.floorDiv("unix_micros(ts)", 3600000000L)).as("hour"),
+        .select(expr(Det.truncDiv("unix_micros(ts)", 3600000000L)).as("hour"),
           (col("event_type") === "error").as("is_err"))
       val hours = ev.groupBy(col("hour"))
         .agg(count(lit(1)).cast("long").as("n_events"),

@@ -85,7 +85,7 @@ object Round6am {
             struct(col("start_us").as("t"), lit(1L).as("delta")),
             struct(col("evict_us").as("t"), lit(-1L).as("delta")))).as("e"))
           .select(col("e.t").as("t"), col("e.delta").as("delta"))
-          .withColumn("hour", expr(Det.floorDiv("t", 3600000000L)))
+          .withColumn("hour", expr(Det.truncDiv("t", 3600000000L)))
         val hourTotals = deltas.groupBy(col("hour"))
           .agg(sum(col("delta")).as("hour_delta"))
           .withColumn("carry_in",

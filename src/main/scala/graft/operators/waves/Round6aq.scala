@@ -30,7 +30,7 @@ object Round6aq {
     // real or interpolated.
     "ev63_resample_interpolate" -> { (s, d) =>
       val hours = Tables.events(s, d)
-        .select(expr(Det.floorDiv("unix_micros(ts)", 3600000000L)).as("hour"),
+        .select(expr(Det.truncDiv("unix_micros(ts)", 3600000000L)).as("hour"),
           col("value"))
         .groupBy(col("hour"))
         // floor before the long cast: DuckDB's decimal→BIGINT cast
@@ -76,7 +76,7 @@ object Round6aq {
     "q67_trend_slope" -> { (s, d) =>
       val daily = Tables.orders(s, d)
         .select(col("o_orderpriority").as("priority"),
-          expr(Det.floorDiv("unix_micros(cast(o_orderdate as timestamp))", 86400000000L)).as("day"))
+          expr(Det.truncDiv("unix_micros(cast(o_orderdate as timestamp))", 86400000000L)).as("day"))
         .groupBy(col("priority"), col("day"))
         .agg(count(lit(1)).cast("long").as("y"))
       val base = daily.agg(min(col("day")).as("d0"))

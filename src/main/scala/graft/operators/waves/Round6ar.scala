@@ -78,7 +78,7 @@ object Round6ar {
           expr("unix_micros(ts)").as("us"))
         .withColumn("rn", row_number().over(wu))
         .withColumn("dead", col("rn") > 1)
-        .withColumn("day", expr(Det.floorDiv("us", 86400000000L)))
+        .withColumn("day", expr(Det.truncDiv("us", 86400000000L)))
       val daily = recs.groupBy(col("day"))
         .agg(count(lit(1)).cast("long").as("n_written"),
           sum(when(col("dead"), 1L).otherwise(0L)).cast("long").as("n_dead"))

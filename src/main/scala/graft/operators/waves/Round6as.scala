@@ -45,7 +45,7 @@ object Round6as {
           col("p_us").isNotNull && col("p_us") >= col("s_us"))
         .withColumn("lat_h",
           when(col("converted"),
-            expr(Det.floorDiv("p_us - s_us", 3600000000L))))
+            expr(Det.truncDiv("p_us - s_us", 3600000000L))))
       val hist = firsts.filter(col("converted"))
         .groupBy(col("cohort"), col("lat_h"))
         .agg(count(lit(1)).as("cnt"))

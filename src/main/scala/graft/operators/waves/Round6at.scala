@@ -50,7 +50,7 @@ object Round6at {
       arms.crossJoin(broadcast(ctl))
         // lifts can be negative: plain `div` matches DuckDB `//`
         // exactly — both truncate toward zero (measured; see
-        // Det.floorDiv's scaladoc)
+        // Det.truncDiv's scaladoc)
         .withColumn("conv_lift_fx",
           when(col("arm") === "treatment",
             expr(s"((conv_fx - ctl_conv_fx) * $Fx) div ctl_conv_fx")))

@@ -80,8 +80,12 @@ object Round6au {
     // changepoint candidate with its normalized magnitude. Output
     // per day over the bounded day table; one flagged row.
     "q69_cusum_changepoint" -> { (s, d) =>
+      // day is emitted as yyyy-MM-dd TEXT, not DATE: DuckDB hands
+      // pandas datetime64 for DATE while Spark parquet yields date
+      // objects — a dtype-parity hazard class (see q44/pk17); strings
+      // hash identically on both sides.
       val days = Tables.orders(s, d)
-        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .groupBy(date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).cast("long").as("x"))
       val w = Window.orderBy(col("day"))
       val totals = days.agg(count(lit(1)).cast("long").as("n"),
@@ -137,7 +141,7 @@ object Round6au {
 
     "q69_cusum_changepoint" ->
       s"""WITH days AS (
-         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
          |    CAST(COUNT(*) AS BIGINT) AS x
          |  FROM orders GROUP BY 1),
          |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,

@@ -37,7 +37,7 @@ object Round6av {
       val gaps = Tables.events(s, d)
         .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
         .withColumn("gap_s",
-          expr(Det.floorDiv("us - lag(us, 1) OVER " +
+          expr(Det.truncDiv("us - lag(us, 1) OVER " +
             "(PARTITION BY user_id ORDER BY us, event_id)", 1000000L)))
         .filter(col("gap_s").isNotNull)
       val users = gaps.groupBy(col("user_id"))

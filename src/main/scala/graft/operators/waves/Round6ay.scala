@@ -30,7 +30,7 @@ object Round6ay {
     // the bounded age census.
     "ev68_engagement_ramp" -> { (s, d) =>
       val ev = Tables.events(s, d)
-        .select(col("user_id"), expr(Det.floorDiv("unix_micros(ts)", 86400000000L))
+        .select(col("user_id"), expr(Det.truncDiv("unix_micros(ts)", 86400000000L))
           .as("day"))
       val firsts = ev.groupBy(col("user_id")).agg(min(col("day")).as("day0"))
       ev.join(firsts, Seq("user_id"))
@@ -54,7 +54,7 @@ object Round6ay {
     "q72_repurchase_cycle" -> { (s, d) =>
       val o = Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          expr(Det.floorDiv("unix_micros(cast(o_orderdate as timestamp))",
+          expr(Det.truncDiv("unix_micros(cast(o_orderdate as timestamp))",
             86400000000L)).as("day"),
           floor(col("o_totalprice") * 100).cast("long").as("cents"))
       val wc = Window.partitionBy(col("o_custkey"))

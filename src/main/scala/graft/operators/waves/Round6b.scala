@@ -160,7 +160,7 @@ object Round6b {
       val snap = graft.streaming.StreamJobs
         .runMemorySnapshot(firsts, "graft_ev42_mem", "complete")
       snap
-        .select(expr(Det.floorDiv("unix_micros(first_ts)", DayUs)).as("day"))
+        .select(expr(Det.truncDiv("unix_micros(first_ts)", DayUs)).as("day"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_new"))
         .orderBy(col("day"))
@@ -185,7 +185,7 @@ object Round6b {
           (size(TextAnalysis.tokens(col("text"))).cast("long") +
             expr(s"(length(cast(text as binary)) + ${PatchBytes - 1}) div $PatchBytes"))
             .as("cost"))
-        .withColumn("shard", expr(Det.floorDiv("doc_id", ShardW)))
+        .withColumn("shard", expr(Det.truncDiv("doc_id", ShardW)))
       val shardSums = base.groupBy(col("source"), col("shard"))
         .agg(sum(col("cost")).as("shard_cost"))
         .withColumn("offset",

@@ -40,8 +40,10 @@ object Round6bb {
         .agg(min(col("us")).as("start_us"),
           count(lit(1)).cast("long").as("n_events"))
       sess
+        // symmetric ((h % 24) + 24) % 24 guard on BOTH engine sides
+        // (ADVICE r6) — parity-exact for any sign of start_us
         .withColumn("hour",
-          expr(s"pmod(${Det.floorDiv("start_us", 3600000000L)}, 24)").cast("int"))
+          expr(s"(((${Det.truncDiv("start_us", 3600000000L)}) % 24 + 24) % 24)").cast("int"))
         .groupBy(col("hour"))
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum(when(col("n_events") === 1L, 1L).otherwise(0L)).cast("long")
@@ -71,7 +73,7 @@ object Round6bb {
          |  SELECT user_id, sess_id, MIN(us) AS start_us,
          |    CAST(COUNT(*) AS BIGINT) AS n_events
          |  FROM m GROUP BY 1, 2)
-         |SELECT CAST((start_us // 3600000000) % 24 AS INT) AS hour,
+         |SELECT CAST(((start_us // 3600000000) % 24 + 24) % 24 AS INT) AS hour,
          |  CAST(COUNT(*) AS BIGINT) AS n_sessions,
          |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_bounces,

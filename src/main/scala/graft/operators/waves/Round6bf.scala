@@ -25,7 +25,7 @@ object Round6bf {
     // reading forbidden, capacity planning encouraged.
     "ev71_overload_errors" -> { (s, d) =>
       val cells = Tables.events(s, d)
-        .select(expr(Det.floorDiv("unix_micros(ts)", 60000000L)).as("minute"),
+        .select(expr(Det.truncDiv("unix_micros(ts)", 60000000L)).as("minute"),
           (col("event_type") === "error").as("is_err"))
         .groupBy(col("minute"))
         .agg(count(lit(1)).cast("long").as("n"),

@@ -194,8 +194,8 @@ object Round6z {
          |    CAST(SUM(n_docs) AS BIGINT) AS n_docs,
          |    CAST(SUM(tokens) AS BIGINT) AS tokens
          |  FROM sharded GROUP BY 1),
-         |t AS (SELECT SUM(tokens) AS total_tokens FROM w)
+         |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM w)
          |SELECT worker, n_shards, n_docs, tokens,
-         |  (tokens * $NWorkers * $Fx) // total_tokens AS load_fx
+         |  CAST((tokens * $NWorkers * $Fx) // total_tokens AS BIGINT) AS load_fx
          |FROM w CROSS JOIN t ORDER BY worker""".stripMargin)
 }

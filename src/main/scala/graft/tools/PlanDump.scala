@@ -67,7 +67,31 @@ object PlanDump {
     // CI, exact KS over bounded CDFs, truncation-recall sweep,
     // dual-layout write amplification
     "q71_mad_robust", "dd37_estimator_ci", "q73_ks_test",
-    "ss33_matryoshka_recall", "pk19_write_amplification")
+    "ss33_matryoshka_recall", "pk19_write_amplification",
+    // round-6 waves previously undumped — at least one per family
+    // per wave: conversion funnels, drift/tvd, compaction pricing,
+    // bot cadence, engagement ramps, bounce census, alert debounce,
+    // overload contingency; reconciliation, Benford, autocorrelation,
+    // trend slope, weighted quantiles, repurchase cycles; boilerplate,
+    // artifact/sentence censuses, hapax, joint length-quality,
+    // code-switching; keeper policies, shingle-size sweeps, dup
+    // provenance, source sketches; staleness, mutual-kNN drift,
+    // tombstones, PQ utilization; truncation loss, shuffle locality;
+    // frame sampling, cascade byte pricing
+    "ev64_compaction_debt", "ev65_conversion_latency", "ev67_bot_regularity",
+    "ev68_engagement_ramp", "ev69_bounce_census", "ev70_alert_debounce",
+    "ev71_overload_errors", "ev72_lake_ingest",
+    "q58_order_reconciliation", "q59_benford_census", "q62_linear_attribution",
+    "q65_cardinality_error", "q66_daily_autocorr", "q67_trend_slope",
+    "q70_weighted_quantiles", "q72_repurchase_cycle",
+    "tx28_boilerplate", "tx29_artifact_census", "tx30_sentence_stats",
+    "tx32_hapax_census", "tx33_len_quality_joint", "tx34_code_switching",
+    "dd29_dedup_mix_shift", "dd30_keeper_policy_sweep",
+    "dd31_shingle_size_sweep", "dd34_dup_provenance", "dd35_source_sketch",
+    "ss26_mips_norm_prune", "ss27_index_staleness", "ss29_centroid_drift",
+    "ss31_tombstone_ghosts", "ss32_pq_utilization",
+    "pk16_truncation_loss", "pk17_worker_skew", "pk18_shuffle_locality",
+    "mm11_frame_sample", "mm13_cascade_bytes")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

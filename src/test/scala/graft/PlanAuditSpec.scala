@@ -461,4 +461,55 @@ class PlanAuditSpec extends SparkSpec {
       assert(!s.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$s")
     }
   }
+
+  test("ev72 lake decode is join-free; the explode chain stays map-side") {
+    // the ingest posture: between the encoded block documents and the
+    // final census there is no join at all, and the decode (from_json
+    // + triple unnest + prefix filter + envelope parse) contributes
+    // ZERO exchanges — all shuffles in the plan belong to the encode
+    // groupBys and the census/orderBy. At 100 TB that means lake
+    // ingest parallelism is exactly file-split parallelism.
+    val s = planString("ev72_lake_ingest")
+    assert(!s.contains("Join"), s)
+    assert("Generate explode".r.findAllIn(s).size >= 3, s)
+    assert("Exchange".r.findAllIn(s).size <= 5, s)
+  }
+
+  test("dd02/dd12 min-shingle candidates run under the hot-bucket cap") {
+    // the Σ DF² guard (VERDICT r6): the kept-bucket occupancy filter
+    // must sit in the plan as an aggregate-with-HAVING joined into
+    // the candidate self-join — occ <= MinBucketCap visible as a
+    // pushed filter on the count aggregate
+    Seq("dd02_ngram_jaccard", "dd12_minhash_estimate").foreach { q =>
+      val s = planString(q)
+      assert(s.contains(s"<= ${graft.operators.Dedup.MinBucketCap}"),
+        s"$q lost the hot-bucket occupancy cap:\n$s")
+    }
+  }
+
+  test("closing-wave operators prune every fact scan below full table width") {
+    // column pruning is the first thing a refactor silently loses;
+    // embeddings (3 cols) is exempt — reading all of a 3-column
+    // table is legitimate
+    val fullWidth = Map("orders" -> 6, "lineitem" -> 11, "events" -> 6,
+      "documents" -> 5, "customer" -> 5)
+    Seq("q70_weighted_quantiles", "q71_mad_robust", "q72_repurchase_cycle",
+      "q73_ks_test", "ev69_bounce_census", "ev70_alert_debounce",
+      "ev71_overload_errors", "ev72_lake_ingest", "tx32_hapax_census",
+      "tx33_len_quality_joint", "tx34_code_switching", "dd37_estimator_ci",
+      "pk19_write_amplification", "mm13_cascade_bytes").foreach { q =>
+      val f = formatted(q)
+      val scans = f.split("\\(\\d+\\) Scan parquet").drop(1)
+      scans.foreach { block =>
+        val loc = block.linesIterator.find(_.trim.startsWith("Location:")).getOrElse("")
+        val table = fullWidth.keys.find(t => loc.contains(s"$t.parquet"))
+        val rs = block.linesIterator.find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+        table.foreach { t =>
+          val nCols = rs.count(_ == ':') - 1 // "ReadSchema: struct<a:t,b:t>"
+          assert(nCols > 0 && nCols < fullWidth(t),
+            s"$q reads $t unpruned ($nCols/${fullWidth(t)} cols): $rs")
+        }
+      }
+    }
+  }
 }

@@ -35,7 +35,7 @@ class Round6aqSpec extends SparkSpec {
     // replay one priority in scala
     val daily = graft.core.Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("p"),
-        expr(Det.floorDiv("unix_micros(cast(o_orderdate as timestamp))", 86400000000L)).as("day"))
+        expr(Det.truncDiv("unix_micros(cast(o_orderdate as timestamp))", 86400000000L)).as("day"))
       .groupBy(col("p"), col("day")).agg(count(lit(1)).cast("long").as("y"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val d0 = daily.map(_._2).min

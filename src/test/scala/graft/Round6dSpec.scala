@@ -38,16 +38,16 @@ class Round6dSpec extends SparkSpec {
     }
   }
 
-  test("Det.floorDiv matches DuckDB's measured truncating // for any sign") {
+  test("Det.truncDiv matches DuckDB's measured truncating // for any sign") {
     // MEASURED: DuckDB 1.0.0 integer `//` truncates toward zero
     // (-5 // 2 = -2), exactly like Spark `div` and Scala Long `/` —
     // so the parity-exact primitive is plain truncation on BOTH
-    // sides, NOT a one-sided floor guard (see Det.floorDiv scaladoc)
+    // sides, NOT a one-sided floor guard (see Det.truncDiv scaladoc)
     import spark.implicits._
     val vals = Seq(-1000000007L, -86400000001L, -86400000000L, -1L, 0L, 1L,
       86399999999L, 86400000000L, 86400000001L, 123456789012L)
     val df = vals.toDF("x")
-      .withColumn("got", expr(graft.functions.Det.floorDiv("x", 86400000000L)))
+      .withColumn("got", expr(graft.functions.Det.truncDiv("x", 86400000000L)))
       .collect()
     df.foreach { r =>
       assert(r.getAs[Long]("got") === r.getAs[Long]("x") / 86400000000L,

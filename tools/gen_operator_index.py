@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Regenerate docs/OPERATORS.md — the operator → file:line index.
+
+Scans src/main/scala for `"<name>" -> { (s, d) =>` query entries and
+emits one table per family, so a reader can find any operator without
+grep. Run after adding operators:  python3 tools/gen_operator_index.py
+"""
+import os, re, collections
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = os.path.join(ROOT, "src", "main", "scala")
+PAT = re.compile(r'"((?:q|ev|tx|pk|dd|ss|mm)\d+_[a-z0-9_]+)"\s*->\s*[{(]')
+
+FAMILIES = [
+    ("ev", "Event pipeline"), ("q", "Core analytics"),
+    ("tx", "Text analysis"), ("pk", "Packing/chunking"),
+    ("dd", "Deduplication"), ("ss", "Similarity search"),
+    ("mm", "Multimodal"),
+]
+
+found = {}
+for dirpath, _, files in os.walk(SRC):
+    for fn in sorted(files):
+        if not fn.endswith(".scala"):
+            continue
+        path = os.path.join(dirpath, fn)
+        rel = os.path.relpath(path, ROOT)
+        for i, line in enumerate(open(path), 1):
+            for m in PAT.finditer(line):
+                found.setdefault(m.group(1), f"{rel}:{i}")
+
+def fam_of(name):
+    return re.match(r"[a-z]+", name).group(0)
+
+def num_of(name):
+    return int(re.search(r"\d+", name).group(0))
+
+by_fam = collections.defaultdict(list)
+for name, loc in found.items():
+    by_fam[fam_of(name)].append((num_of(name), name, loc))
+
+out = ["# Operator index (generated — tools/gen_operator_index.py)",
+       "",
+       f"{len(found)} query operators. Regenerate after adding one.",
+       ""]
+for fam, title in FAMILIES:
+    ops = sorted(by_fam.get(fam, []))
+    out.append(f"## {title} ({len(ops)})")
+    out.append("")
+    out.append("| operator | where |")
+    out.append("| --- | --- |")
+    for _, name, loc in ops:
+        out.append(f"| {name} | {loc} |")
+    out.append("")
+
+with open(os.path.join(ROOT, "docs", "OPERATORS.md"), "w") as f:
+    f.write("\n".join(out))
+print(f"wrote docs/OPERATORS.md with {len(found)} operators")

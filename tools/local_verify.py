@@ -42,6 +42,32 @@ for name in sorted(oracles):
         fails.append((name, f"rows {len(spark_df)} vs {len(duck_df)}"))
         print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}"); continue
     bad = None
+    def kind_of(s):
+        # Collapse dtypes into the categories the driver's hash is
+        # sensitive to. An int column coming back float64 from DuckDB
+        # (HUGEINT via uncast //-by-SUM) hashes differently even when
+        # every value is equal — that class must FAIL here.
+        k = s.dtype.kind
+        if k in "iu": return "int"
+        if k == "f": return "float"
+        if k == "b": return "bool"
+        if k == "M": return "datetime"
+        if k == "O":
+            for v in s:
+                if v is None: continue
+                import datetime
+                if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+                    return "date"
+                return "obj"
+            return "obj"
+        return "obj"
+    for c in spark_df.columns:
+        ka, kb = kind_of(spark_df[c]), kind_of(duck_df[c])
+        if ka != kb and {ka, kb} & {"int", "float", "date", "datetime"}:
+            bad = f"col {c} DTYPE-PARITY {ka}({spark_df[c].dtype}) vs {kb}({duck_df[c].dtype})"
+            break
+    if bad:
+        fails.append((name, bad)); print(f"FAIL {name}: {bad}"); continue
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
         if a.dtype.kind == "f" or b.dtype.kind == "f":

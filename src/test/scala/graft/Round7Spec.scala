@@ -84,6 +84,13 @@ class Round7Spec extends SparkSpec {
     assert(!out.exists(_.getAs[String]("event") == "bad event!"))
   }
 
+  test("ev73 streaming ingest census equals ev72's batch census") {
+    val batch = Round7.queries("ev72_lake_ingest")(spark, sf).collect()
+    val stream = Round7.queries("ev73_lake_stream_ingest")(spark, sf).collect()
+    assert(stream.nonEmpty)
+    assert(stream.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("dd02 hot-bucket cap bounds the candidate join on an adversarial corpus") {
     // 300 docs sharing one globally-minimal shingle ("aa bb cc" in
     // every doc) would produce 300·299/2 ≈ 45k pairs uncapped; the

@@ -320,6 +320,22 @@ object Dedup {
     * [[bandedSignatures]], shared by the dd03 and dd23 oracles.
     * Callers splice after `WITH ` and may append further CTEs.
     */
+  /** sh_t + sigs CTE bodies alone (no banding) — for oracles that
+    * band the signature table with their OWN geometry (dd38).
+    */
+  private[operators] lazy val duckShTSigsCtes: String = {
+    val sigExprs = (0 until MinhashK).map(k =>
+      s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
+      .mkString(",\n    ")
+    s"""sh_t AS (
+       |  SELECT doc_id, $duckShs AS shs FROM documents
+       |  WHERE len($duckToks) >= 3),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM sh_t)""".stripMargin
+  }
+
   private[operators] lazy val duckBandedCtes: String = {
     val sigExprs = (0 until MinhashK).map(k =>
       s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")

@@ -138,4 +138,33 @@ object Rank {
       .filter(col(out) <= k)
       .drop(sc, lc)
   }
+
+  /** EXACT per-group percentile picks — the percentile_approx
+    * replacement when the oracle (or the SLO) needs the true value:
+    * rank rows per group by (`value`, `tiebreak`), pick index
+    * `((n−1)·p) div 100` (truncating, the DuckDB-parity arithmetic).
+    * Returns one row per group: (`group`, n_rows, one named column
+    * per percentile, max_<last>). Windows are group-partitioned —
+    * scale-safe for any group count; sort width is bounded by the
+    * largest group (shuffle-sort, not in-memory).
+    *
+    * `name(p)` supplies the output column for percentile p;
+    * `maxName` the group maximum of `value`.
+    */
+  def exactQuantilesByKey(df: DataFrame, group: String, value: Column,
+      tiebreak: Column, ps: Seq[Int], name: Int => String,
+      maxName: String): DataFrame = {
+    val wt = Window.partitionBy(col(group))
+    val ranked = df
+      .withColumn("_eq_v", value)
+      .withColumn("_eq_rn", row_number().over(
+        wt.orderBy(value, tiebreak)).cast("long"))
+      .withColumn("_eq_n", count(lit(1)).over(wt).cast("long"))
+    val picks = ps.map(p =>
+      max(when(col("_eq_rn") === expr(s"((_eq_n - 1) * $p) div 100") + 1L,
+        col("_eq_v"))).as(name(p)))
+    val aggCols = (max(col("_eq_n")).as("n_rows") +: picks) :+
+      max(col("_eq_v")).as(maxName)
+    ranked.groupBy(col(group)).agg(aggCols.head, aggCols.tail: _*)
+  }
 }

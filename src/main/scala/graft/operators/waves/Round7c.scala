@@ -103,20 +103,57 @@ object Round7c {
           expr("unix_micros(ts)").as("us"))
         .withColumn("frontier", max(col("us")).over(wa))
         .withColumn("late_us", col("frontier") - col("us"))
-      val wt = Window.partitionBy(col("event_type"))
-      val ranked = late
-        .withColumn("rn", row_number().over(
-          wt.orderBy(col("late_us"), col("event_id"))).cast("long"))
-        .withColumn("n", count(lit(1)).over(wt).cast("long"))
-      val picks = Percentiles.map(p =>
-        max(when(col("rn") === expr(s"((n - 1) * $p) div 100") + 1L,
-          col("late_us"))).as(s"p${p}_us"))
-      val aggCols = (max(col("n")).as("n_events") +: picks) :+
-        max(col("late_us")).as("max_late_us")
-      ranked.groupBy(col("event_type"))
-        .agg(aggCols.head, aggCols.tail: _*)
+      Rank.exactQuantilesByKey(late, "event_type", col("late_us"),
+          col("event_id"), Percentiles, p => s"p${p}_us", "max_late_us")
+        .withColumnRenamed("n_rows", "n_events")
         .orderBy(col("event_type"))
+    },
+
+    // --- ev75: stream-stream join state model ----------------------------
+    // ev62 sizes keyed state; this sizes TIME-windowed state: a
+    // watermarked interval join retains every row younger than delay
+    // D, so retained(minute m) = prefix(m) − prefix(m − D/60) on the
+    // DENSE minute grid (ev24's gap-fill recipe — prefix diffs are
+    // equi-joins on the shifted minute, no as-of lookup, no bounded
+    // frame re-aggregation). Per candidate delay: mean and max
+    // retained rows and the grid size — the state-store budget line
+    // for each withWatermark setting, computed in two aggregates +
+    // one grid join per delay.
+    "ev75_join_state_model" -> { (s, d) =>
+      import s.implicits._
+      val counts = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 60000000").as("m"))
+        .groupBy(col("m")).agg(count(lit(1)).cast("long").as("c"))
+      val bounds = counts.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      val grid = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("m"))
+        .join(counts, Seq("m"), "left")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val pre = Dedup.barrier(grid
+        .withColumn("prefix", sum(col("c")).over(
+          Window.orderBy(col("m"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+        .select(col("m"), col("prefix")))
+      val delays = DelaysS.toDF("delay_s")
+      val shifted = pre.crossJoin(broadcast(delays))
+        .join(pre.select(col("m").as("m_old"), col("prefix").as("prefix_old")),
+          col("m_old") === col("m") - expr("delay_s div 60"), "left")
+        .withColumn("retained",
+          col("prefix") - coalesce(col("prefix_old"), lit(0L)))
+      shifted.groupBy(col("delay_s"))
+        .agg(count(lit(1)).cast("long").as("n_minutes"),
+          sum(col("retained")).cast("long").as("retained_sum"),
+          max(col("retained")).cast("long").as("max_state_rows"))
+        .withColumn("mean_state_fx",
+          expr(s"(retained_sum * ${1000000L}) div n_minutes"))
+        .select(col("delay_s"), col("n_minutes"), col("max_state_rows"),
+          col("mean_state_fx"))
+        .orderBy(col("delay_s"))
     })
+
+  /** ev75: candidate watermark delays (seconds). */
+  val DelaysS: Seq[Long] = Seq(300L, 3600L, 21600L)
 
   def oracles: Map[String, String] = Map(
     "ss34_two_stage_recall" -> {
@@ -159,6 +196,32 @@ object Round7c {
          |LEFT JOIN rr USING (depth, vec_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "ev75_join_state_model" ->
+      s"""WITH counts AS (
+         |  SELECT epoch_us(ts) // 60000000 AS m,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1),
+         |b AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM counts),
+         |grid AS (
+         |  SELECT g.m, COALESCE(c.c, 0) AS c
+         |  FROM (SELECT unnest(generate_series(lo, hi)) AS m FROM b) g
+         |  LEFT JOIN counts c ON g.m = c.m),
+         |pre AS (
+         |  SELECT m, CAST(SUM(c) OVER (ORDER BY m
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS prefix
+         |  FROM grid),
+         |delays AS (SELECT unnest([${DelaysS.mkString(", ")}]) AS delay_s),
+         |sh AS (
+         |  SELECT d.delay_s, p.prefix - COALESCE(po.prefix, 0) AS retained
+         |  FROM pre p CROSS JOIN delays d
+         |  LEFT JOIN pre po ON po.m = p.m - d.delay_s // 60)
+         |SELECT delay_s, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+         |  CAST(MAX(retained) AS BIGINT) AS max_state_rows,
+         |  CAST((SUM(retained) * 1000000) // COUNT(*) AS BIGINT)
+         |    AS mean_state_fx
+         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev74_lateness_quantiles" -> {
       val pickCols = Percentiles.map(p =>

@@ -91,7 +91,13 @@ object PlanDump {
     "ss26_mips_norm_prune", "ss27_index_staleness", "ss29_centroid_drift",
     "ss31_tombstone_ghosts", "ss32_pq_utilization",
     "pk16_truncation_loss", "pk17_worker_skew", "pk18_shuffle_locality",
-    "mm11_frame_sample", "mm13_cascade_bytes")
+    "mm11_frame_sample", "mm13_cascade_bytes",
+    // round-7 waves: lake StreamerMessage ingest (join-free triple
+    // unnest), banding planner (pair-free occupancy folds), gains
+    // table, stopword profile, two-stage recall, lateness quantiles
+    "ev72_lake_ingest", "dd38_band_allocation", "q74_gains_table",
+    "tx35_stopword_profile", "ss34_two_stage_recall",
+    "ev74_lateness_quantiles")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

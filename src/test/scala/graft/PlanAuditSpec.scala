@@ -453,7 +453,16 @@ class PlanAuditSpec extends SparkSpec {
       // ev70 inherits ev61's 1-row baseline broadcast
       "ev70_alert_debounce",
       // ev71 broadcasts the 1-row traffic baseline + lift aggregate
-      "ev71_overload_errors")
+      "ev71_overload_errors",
+      // q74 broadcasts the 1-row customer-count + total aggregates
+      "q74_gains_table",
+      // ss34 broadcasts the single query row, the 10-row truth frame
+      // and the 4-row depth frame (non-equi rk <= depth against a
+      // constant-sized dial table — the ss11 nprobe pattern)
+      "ss34_two_stage_recall",
+      // ev75 crosses the minute-grid prefix table with the 3-row
+      // delay dial before the shifted equi-join
+      "ev75_join_state_model")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)
@@ -485,6 +494,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(s.contains(s"<= ${graft.operators.Dedup.MinBucketCap}"),
         s"$q lost the hot-bucket occupancy cap:\n$s")
     }
+  }
+
+  test("dd38 banding planner is join-free — cost comes from occupancy folds, not pairs") {
+    val s = planString("dd38_band_allocation")
+    assert(!s.contains("Join"), s"dd38 must never materialize pairs:\n$s")
+  }
+
+  test("ss34 shortlist comes from TakeOrdered, truth likewise — no global sort of facts") {
+    val s = planString("ss34_two_stage_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(s).size >= 2, s)
   }
 
   test("closing-wave operators prune every fact scan below full table width") {

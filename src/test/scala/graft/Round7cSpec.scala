@@ -19,6 +19,19 @@ class Round7cSpec extends SparkSpec {
     }
   }
 
+  test("ev75 retained state grows with delay and never exceeds the corpus") {
+    val rows = Round7c.queries("ev75_join_state_model")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("delay_s")).toSeq === Round7c.DelaysS)
+    val maxes = rows.map(_.getAs[Long]("max_state_rows"))
+    val means = rows.map(_.getAs[Long]("mean_state_fx"))
+    assert(maxes.toSeq === maxes.sorted.toSeq)
+    assert(means.toSeq === means.sorted.toSeq)
+    val total = graft.core.Tables.events(spark, sf).count()
+    assert(maxes.forall(m => m >= 0L && m <= total))
+    // every arm sees the same dense grid
+    assert(rows.map(_.getAs[Long]("n_minutes")).distinct.length === 1)
+  }
+
   test("ev74 lateness quantiles are ordered and bounded per type") {
     val rows = Round7c.queries("ev74_lateness_quantiles")(spark, sf).collect()
     assert(rows.nonEmpty)

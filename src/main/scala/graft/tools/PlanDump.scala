@@ -97,7 +97,9 @@ object PlanDump {
     // table, stopword profile, two-stage recall, lateness quantiles
     "ev72_lake_ingest", "dd38_band_allocation", "q74_gains_table",
     "tx35_stopword_profile", "ss34_two_stage_recall",
-    "ev74_lateness_quantiles")
+    "ev74_lateness_quantiles", "ev75_join_state_model",
+    "dd39_dup_distance_octaves", "tx36_len_quantiles_by_lang",
+    "pk20_window_doc_mixing", "mm14_cross_source_sharing")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -314,4 +314,68 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
     assert(got.map(_._3).distinct.length === got.length, "interleave not injective")
   }
+
+  test("exactQuantilesByKey matches the sorted-seq reference on skewed random data") {
+    for (seed <- Seq(5, 23, 91)) {
+      val rnd = new Random(seed)
+      // heavy ties + one giant group + singleton groups
+      val rows = (0 until 400).map { i =>
+        val g = if (rnd.nextInt(4) > 0) "big" else s"g${rnd.nextInt(6)}"
+        (g, rnd.nextInt(12).toLong, i.toLong)
+      }
+      val df = rows.toDF("grp", "v", "id")
+      val ps = Seq(50, 90, 99)
+      val got = graft.operators.Rank.exactQuantilesByKey(
+        df, "grp", col("v"), col("id"), ps, p => s"p$p", "vmax")
+        .collect().map(r => r.getAs[String]("grp") -> r).toMap
+      rows.groupBy(_._1).foreach { case (g, members) =>
+        val sorted = members.map(_._2).sorted
+        val r = got(g)
+        assert(r.getAs[Long]("n_rows") === members.length.toLong, s"seed=$seed g=$g")
+        ps.foreach { p =>
+          val expect = sorted(((members.length - 1) * p / 100).toInt)
+          assert(r.getAs[Long](s"p$p") === expect, s"seed=$seed g=$g p=$p")
+        }
+        assert(r.getAs[Long]("vmax") === sorted.last, s"seed=$seed g=$g")
+      }
+    }
+  }
+
+  test("lake ingest round-trips random StreamerMessage corpora exactly") {
+    import graft.sources.LakeIngest
+    for (seed <- Seq(2, 17)) {
+      val rnd = new Random(seed)
+      // random blocks: 1-4 shards, 0-3 outcomes each, 0-4 logs per
+      // outcome with EVENT_JSON lines mixed into noise at random
+      var expected = 0
+      val docs = (0 until 40).map { h =>
+        val shards = (0 until 1 + rnd.nextInt(4)).map { sid =>
+          val outs = (0 until rnd.nextInt(4)).map { o =>
+            val logs = (0 until rnd.nextInt(5)).map { li =>
+              if (rnd.nextBoolean()) {
+                expected += 1
+                s"""\"EVENT_JSON:{\\\"standard\\\":\\\"nep297\\\",\\\"version\\\":\\\"1.0.0\\\",\\\"event\\\":\\\"e$li\\\",\\\"data\\\":[]}\""""
+              } else s"""\"noise $h $sid $o $li\""""
+            }.mkString("[", ",", "]")
+            s"""{"receipt":{"receipt_id":"r$h-$sid-$o","receiver_id":"c$o.near"},
+               |"execution_outcome":{"id":"r$h-$sid-$o","outcome":{"logs":$logs}}}"""
+              .stripMargin.replaceAll("\n", "")
+          }.mkString("[", ",", "]")
+          s"""{"shard_id":$sid,"receipt_execution_outcomes":$outs}"""
+        }.mkString("[", ",", "]")
+        s"""{"block":{"header":{"height":${9000 + h},"timestamp":${h * 1000}}},"shards":$shards}"""
+      }
+      val parsed = graft.streaming.EventStreams.validated(
+        graft.streaming.EventStreams.extractEvents(
+          LakeIngest.outcomeLogs(docs.toDF("value"), col("value"))))
+      assert(parsed.count() === expected.toLong, s"seed=$seed")
+      // every emitted row keeps coherent emit_info coordinates
+      val bad = parsed.filter(
+        col("emit_info.block_height") < 9000 ||
+        col("emit_info.block_height") >= 9040 ||
+        !col("emit_info.receipt_id").startsWith("r") ||
+        !col("emit_info.contract_account_id").endsWith(".near")).count()
+      assert(bad === 0L, s"seed=$seed")
+    }
+  }
 }

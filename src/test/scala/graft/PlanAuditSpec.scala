@@ -462,7 +462,11 @@ class PlanAuditSpec extends SparkSpec {
       "ss34_two_stage_recall",
       // ev75 crosses the minute-grid prefix table with the 3-row
       // delay dial before the shifted equi-join
-      "ev75_join_state_model")
+      "ev75_join_state_model",
+      // dd39 crosses the ≤64-row octave census with its 1-row total
+      "dd39_dup_distance_octaves",
+      // pk20 crosses docs and slices with the 3-row context-size dial
+      "pk20_window_doc_mixing")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(singleRowCross.contains).foreach { name =>
       val s = planString(name)

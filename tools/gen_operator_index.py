@@ -18,16 +18,38 @@ FAMILIES = [
     ("mm", "Multimodal"),
 ]
 
+TITLE = re.compile(r"//\s*---\s*(?:q|ev|tx|pk|dd|ss|mm)\d+:\s*(.+?)\s*-*\s*$")
+
 found = {}
+titles = {}
 for dirpath, _, files in os.walk(SRC):
     for fn in sorted(files):
         if not fn.endswith(".scala"):
             continue
         path = os.path.join(dirpath, fn)
         rel = os.path.relpath(path, ROOT)
+        pending_title = None
+        last_comment = None
         for i, line in enumerate(open(path), 1):
+            t = TITLE.search(line)
+            if t:
+                pending_title = t.group(1)
+            else:
+                c = re.match(r"\s*//\s*(.+)", line)
+                if c and "---" not in c.group(1):
+                    # first line of a plain comment block wins
+                    if last_comment is None:
+                        last_comment = c.group(1).strip()
+                elif line.strip() and "//" not in line:
+                    if PAT.search(line) is None:
+                        last_comment = None
             for m in PAT.finditer(line):
-                found.setdefault(m.group(1), f"{rel}:{i}")
+                if m.group(1) not in found:
+                    found[m.group(1)] = f"{rel}:{i}"
+                    title = pending_title or last_comment or ""
+                    titles[m.group(1)] = title[:90].replace("|", "\\|")
+                pending_title = None
+                last_comment = None
 
 def fam_of(name):
     return re.match(r"[a-z]+", name).group(0)
@@ -47,10 +69,10 @@ for fam, title in FAMILIES:
     ops = sorted(by_fam.get(fam, []))
     out.append(f"## {title} ({len(ops)})")
     out.append("")
-    out.append("| operator | where |")
-    out.append("| --- | --- |")
+    out.append("| operator | what | where |")
+    out.append("| --- | --- | --- |")
     for _, name, loc in ops:
-        out.append(f"| {name} | {loc} |")
+        out.append(f"| {name} | {titles.get(name, '')} | {loc} |")
     out.append("")
 
 with open(os.path.join(ROOT, "docs", "OPERATORS.md"), "w") as f:

@@ -17,6 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
+  /** MinHash family geometry — canonical home (the native
+    * [[MinhashSigExpr]] and [[graft.operators.Dedup]] both read
+    * these; Dedup re-exports them under its historical names).
+    * Coefficients are fixed (deterministic in k) and small enough
+    * that a·h32+b < 2^52 never overflows; P is the smallest prime
+    * > 2^32.
+    */
+  val MinhashK = 16
+  val MinhashP = 4294967311L
+  val MinhashA: IndexedSeq[Long] =
+    (0 until MinhashK).map(k => (k * 2654435761L + 12345L) % 1048573L + 1L)
+  val MinhashB: IndexedSeq[Long] =
+    (0 until MinhashK).map(k => (k * 40503L + 9973L) % 1048573L)
+
   /** 60-bit deterministic hash of a string column (non-negative). */
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")

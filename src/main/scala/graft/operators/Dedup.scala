@@ -22,7 +22,11 @@ import graft.functions.Hashing
   */
 object Dedup {
 
-  val MinhashK = 16
+  // canonical definitions live in graft.functions.Hashing (shared
+  // with the native MinhashSigExpr, which cannot depend on this
+  // package); these aliases keep the long-standing call sites and
+  // oracle builders unchanged
+  val MinhashK: Int = Hashing.MinhashK
   val Bands = 4
   val RowsPerBand = 4 // MinhashK / Bands
 
@@ -30,9 +34,9 @@ object Dedup {
     * fixed (deterministic in k) and small enough that a·h32+b < 2^52
     * never overflows; P is the smallest prime > 2^32.
     */
-  val P = 4294967311L
-  val A: IndexedSeq[Long] = (0 until MinhashK).map(k => (k * 2654435761L + 12345L) % 1048573L + 1L)
-  val B: IndexedSeq[Long] = (0 until MinhashK).map(k => (k * 40503L + 9973L) % 1048573L)
+  val P: Long = Hashing.MinhashP
+  val A: IndexedSeq[Long] = Hashing.MinhashA
+  val B: IndexedSeq[Long] = Hashing.MinhashB
 
   /** Word 3-gram shingle strings (with duplicates; distinct applied
     * after hashing).
@@ -57,8 +61,18 @@ object Dedup {
         (lit(A(k)) * pmod(h, lit(4294967296L)) + lit(B(k))) % lit(P)))
     }
 
-  /** MinHash signature as a single array column. */
-  def minhashSig(shs: Column): Column = array(minhashSigCols(shs): _*)
+  /** MinHash signature as a single array column — the native fused
+    * single-pass expression (one traversal computes all 16 minima;
+    * bit-identical to `array(minhashSigCols…)`, which remains the
+    * spec-checked reference formulation).
+    */
+  def minhashSig(shs: Column): Column = graft.functions.MinhashSigExpr(shs)
+
+  /** The composed reference form of [[minhashSig]] — kept for the
+    * equivalence spec; K array traversals, never used in operators.
+    */
+  private[graft] def minhashSigComposed(shs: Column): Column =
+    array(minhashSigCols(shs): _*)
 
   /** (doc_id, simhash) — unordered; dd04 adds the ORDER BY, dd07
     * consumes it barrier-materialized for the banded self-join.
@@ -94,16 +108,25 @@ object Dedup {
     * callers own materialization (barrier is a single-slot cache).
     */
   private[graft] def bandedSignatures(s: SparkSession, d: String): DataFrame = {
-    val sig = docShingles(s, d).select(
-      col("doc_id") +: minhashSigCols(col("shs")).zipWithIndex
-        .map { case (c, i) => c.as(s"sig_$i") }: _*)
-    val bandCols = (0 until Bands).map(b =>
-      Hashing.hash64(concat_ws(",",
-        (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}")): _*)))
-    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+    // one fused signature pass (MinhashSigExpr), bands sliced out of
+    // the array — the shingle array is traversed once per doc, not
+    // once per hash family
+    val sig = docShingles(s, d)
+      .select(col("doc_id"), minhashSig(col("shs")).as("_sig"))
+    sig.select(col("doc_id"), posexplode(array(bandHashCols(col("_sig")): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }
+
+  /** The [[Bands]] band-hash columns sliced from a [[minhashSig]]
+    * array — shared by every banding variant so the (4, 4) geometry
+    * has one definition.
+    */
+  private[graft] def bandHashCols(sig: Column): Seq[Column] =
+    (0 until Bands).map(b =>
+      Hashing.hash64(concat_ws(",",
+        (0 until RowsPerBand).map(r =>
+          element_at(sig, b * RowsPerBand + r + 1)): _*)))
 
   /** docs → (doc_id, shs: array<long>) for docs with ≥3 tokens. */
   private[graft] def docShingles(s: SparkSession, d: String): DataFrame =

@@ -273,15 +273,11 @@ object Round5d {
         .withColumn("is_eval",
           graft.functions.Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
         .select(col("doc_id"), col("is_eval"), Dedup.shingleHashes(col("toks")).as("shs")))
-      val sig = sh.select(
-        col("doc_id") +: col("is_eval") +: Dedup.minhashSigCols(col("shs")).zipWithIndex
-          .map { case (c, i) => c.as(s"sig_$i") }: _*)
-      val bandCols = (0 until Dedup.Bands).map(b =>
-        graft.functions.Hashing.hash64(concat_ws(",",
-          (0 until Dedup.RowsPerBand).map(r =>
-            col(s"sig_${b * Dedup.RowsPerBand + r}")): _*)))
+      val sig = sh.select(col("doc_id"), col("is_eval"),
+        Dedup.minhashSig(col("shs")).as("_sig"))
       val banded = Dedup.barrierAlso(sig
-        .select(col("doc_id"), col("is_eval"), posexplode(array(bandCols: _*)))
+        .select(col("doc_id"), col("is_eval"),
+          posexplode(array(Dedup.bandHashCols(col("_sig")): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash"))
       val cand = banded.filter(!col("is_eval"))

@@ -32,16 +32,10 @@ object Round6i {
       val ds = Dedup.barrier(Dedup.docShingles(s, d))
         .withColumn("is_new",
           pmod(Hashing.hash64(col("doc_id").cast("string")), lit(10)) === 0)
-      val sig = ds.select(
-        (col("doc_id") +: col("is_new") +:
-          Dedup.minhashSigCols(col("shs")).zipWithIndex
-            .map { case (c, i) => c.as(s"sig_$i") }): _*)
-      val bandCols = (0 until Dedup.Bands).map(b =>
-        Hashing.hash64(concat_ws(",",
-          (0 until Dedup.RowsPerBand).map(r =>
-            col(s"sig_${b * Dedup.RowsPerBand + r}")): _*)))
+      val sig = ds.select(col("doc_id"), col("is_new"),
+        Dedup.minhashSig(col("shs")).as("_sig"))
       val banded = sig.select(col("doc_id"), col("is_new"),
-          posexplode(array(bandCols: _*)))
+          posexplode(array(Dedup.bandHashCols(col("_sig")): _*)))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "band_hash")
       val nb = banded.filter(col("is_new"))

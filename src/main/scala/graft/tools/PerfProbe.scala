@@ -36,8 +36,24 @@ object PerfProbe {
     time("shingle hashes")(toks.select(Dedup.shingleHashes(col("toks")).as("s"))
       .agg(sum(size(col("s")))).collect())
     val shs = toks.select(col("doc_id"), Dedup.shingleHashes(col("toks")).as("shs"))
-    time("minhash sig")(shs.select(Dedup.minhashSig(col("shs")).as("sig"))
+    val shsC = shs.persist(); shsC.count()
+    time("minhash sig fused (cold)")(shs.select(Dedup.minhashSig(col("shs")).as("sig"))
       .agg(sum(size(col("sig")))).collect())
+    // A/B on the SAME cached shingle table — isolates the signature
+    // projection from the md5 shingling upstream
+    time("minhash composed (cached shs)")(
+      shsC.select(Dedup.minhashSigComposed(col("shs")).as("sig"))
+        .agg(sum(size(col("sig")))).collect())
+    time("minhash fused (cached shs)")(
+      shsC.select(Dedup.minhashSig(col("shs")).as("sig"))
+        .agg(sum(size(col("sig")))).collect())
+    time("minhash composed (cached, run 2)")(
+      shsC.select(Dedup.minhashSigComposed(col("shs")).as("sig"))
+        .agg(sum(size(col("sig")))).collect())
+    time("minhash fused (cached, run 2)")(
+      shsC.select(Dedup.minhashSig(col("shs")).as("sig"))
+        .agg(sum(size(col("sig")))).collect())
+    shsC.unpersist()
 
     val ds = shs.withColumn("bucket", array_min(col("shs")))
     time("bucket pairs join (recompute)")(

@@ -315,6 +315,40 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length === got.length, "interleave not injective")
   }
 
+  test("MinhashSigExpr equals the composed 16-column form on adversarial arrays") {
+    for (seed <- Seq(4, 29)) {
+      val rnd = new Random(seed)
+      val rows = (0 until 120).map { i =>
+        val n = rnd.nextInt(8)
+        val arr: Seq[java.lang.Long] = (0 until n).map { _ =>
+          rnd.nextInt(5) match {
+            case 0 => null
+            case 1 => java.lang.Long.valueOf(-rnd.nextLong().abs % 100000L)
+            case _ => java.lang.Long.valueOf(rnd.nextLong().abs % (1L << 60))
+          }
+        }
+        (i.toLong, arr)
+      }
+      val df = rows.toDF("id", "shs")
+      val out = df.select(col("id"),
+        graft.functions.MinhashSigExpr(col("shs")).as("fused"),
+        graft.operators.Dedup.minhashSigComposed(col("shs")).as("composed"))
+        .collect()
+      out.foreach { r =>
+        assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"seed=$seed id=${r.getLong(0)}")
+      }
+      // the ONE intentional divergence (see MinhashSigExpr scaladoc):
+      // null array → NULL signature (fused, strict) vs an array of
+      // 16 nulls (composed) — unreachable from operators, pinned here
+      val nul = Seq((0L, null.asInstanceOf[Seq[java.lang.Long]])).toDF("id", "shs")
+        .select(graft.functions.MinhashSigExpr(col("shs")).as("f"),
+          graft.operators.Dedup.minhashSigComposed(col("shs")).as("c"))
+        .collect()(0)
+      assert(nul.isNullAt(0))
+      assert(!nul.isNullAt(1) && nul.getSeq[Any](1).forall(_ == null))
+    }
+  }
+
   test("exactQuantilesByKey matches the sorted-seq reference on skewed random data") {
     for (seed <- Seq(5, 23, 91)) {
       val rnd = new Random(seed)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * MinHash banding (dd03 and the whole dd family) signs every doc in
   * the corpus — at 100 TB this projection IS the dedup scan cost.
   */
-case class MinhashSigExpr(child: Expression) extends UnaryExpression {
+case class MinhashSigExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  // analysis-time type gate: a non-array<long> child fails with a
+  // clear error instead of an execution-time ClassCastException
+  // (return type inferred — AbstractDataType is private[sql])
+  override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def nodeName: String = "graft_minhash_sig"
   override def nullable: Boolean = child.nullable

@@ -151,9 +151,9 @@ object Round6z {
          |tb AS (
          |  ${duckCmsUnion("top", "l_partkey, cnt")})
          |SELECT tb.l_partkey, tb.cnt AS true_cnt,
-         |  CAST(MIN(s.counter) AS BIGINT) AS est_cnt,
-         |  CAST(MIN(s.counter) - tb.cnt AS BIGINT) AS over_cnt
-         |FROM tb JOIN sketch s USING (seed, bucket)
+         |  CAST(MIN(COALESCE(s.counter, 0)) AS BIGINT) AS est_cnt,
+         |  CAST(MIN(COALESCE(s.counter, 0)) - tb.cnt AS BIGINT) AS over_cnt
+         |FROM tb LEFT JOIN sketch s USING (seed, bucket)
          |GROUP BY 1, 2 ORDER BY true_cnt DESC, l_partkey""".stripMargin,
 
     "tx31_novelty_curve" ->

@@ -41,7 +41,10 @@ object Round7 {
         .as("receiver"),
       when(col("event_type") === "error", lit("bad event!"))
         .otherwise(col("event_type")).as("ename"),
-      when(kStr === "", lit(0L)).otherwise(kStr.cast("long")).as("k"),
+      // coalesce, not when(kStr==""): an unparseable/overflowing digit
+      // run casts to NULL, and the oracle's COALESCE(TRY_CAST, 0)
+      // maps that to 0 — null-to-zero must match on both sides
+      coalesce(kStr.cast("long"), lit(0L)).as("k"),
       unix_micros(col("ts")).as("ts_us"))
     val payload = to_json(struct(
       lit("nep297").as("standard"), lit("1.0.0").as("version"),

@@ -80,7 +80,7 @@ object PlanDump {
     // frame sampling, cascade byte pricing
     "ev64_compaction_debt", "ev65_conversion_latency", "ev67_bot_regularity",
     "ev68_engagement_ramp", "ev69_bounce_census", "ev70_alert_debounce",
-    "ev71_overload_errors", "ev72_lake_ingest",
+    "ev71_overload_errors",
     "q58_order_reconciliation", "q59_benford_census", "q62_linear_attribution",
     "q65_cardinality_error", "q66_daily_autocorr", "q67_trend_slope",
     "q70_weighted_quantiles", "q72_repurchase_cycle",

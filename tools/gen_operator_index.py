@@ -44,10 +44,21 @@ for dirpath, _, files in os.walk(SRC):
                     if PAT.search(line) is None:
                         last_comment = None
             for m in PAT.finditer(line):
-                if m.group(1) not in found:
-                    found[m.group(1)] = f"{rel}:{i}"
+                # Anchor on the queries-map form `-> { (s, d) =>`:
+                # an oracle-first file would otherwise index the DuckDB
+                # SQL line as the operator's location. A weak (non-
+                # lambda) match only fills in when no strong match ever
+                # appears for the name.
+                strong = "(s, d) =>" in line or "(s, d)=>" in line
+                name = m.group(1)
+                if strong and not found.get(name, (False, ""))[0]:
+                    found[name] = (True, f"{rel}:{i}")
                     title = pending_title or last_comment or ""
-                    titles[m.group(1)] = title[:90].replace("|", "\\|")
+                    titles[name] = title[:90].replace("|", "\\|")
+                elif name not in found:
+                    found[name] = (False, f"{rel}:{i}")
+                    title = pending_title or last_comment or ""
+                    titles[name] = title[:90].replace("|", "\\|")
                 pending_title = None
                 last_comment = None
 
@@ -58,7 +69,7 @@ def num_of(name):
     return int(re.search(r"\d+", name).group(0))
 
 by_fam = collections.defaultdict(list)
-for name, loc in found.items():
+for name, (_, loc) in found.items():
     by_fam[fam_of(name)].append((num_of(name), name, loc))
 
 out = ["# Operator index (generated — tools/gen_operator_index.py)",

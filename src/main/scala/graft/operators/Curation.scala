@@ -334,21 +334,15 @@ object Curation {
       // barrier-materialize the signature table: without it BOTH sides
       // of the self-join recompute the full tokenize+md5 simhash
       // pipeline (the round-1 dd02 lesson applied here)
-      val banded = Dedup.barrier(
-        Dedup.simhashes(s, d).select(col("doc_id"), col("simhash"),
-            posexplode(array((0 until Dedup.SimhashBands).map(b =>
-              shiftright(col("simhash"), b * Dedup.SimhashBandBits)
-                .bitwiseAND(Dedup.SimhashBandMask)): _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bval"))
-      val l = banded.select(col("band"), col("bval"),
-        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      val r = banded.select(col("band"), col("bval"),
-        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      l.join(r, Seq("band", "bval"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-        .distinct()
+      // Hot-bucket cap + star fallback (VERDICT r7): a near-constant
+      // 15-bit band value (or a corpus-scale dup cluster — measured
+      // 1,582 docs in one bucket at sf0.1) would make the self-join
+      // pay Σ occ² pairs in ONE bucket. Buckets over SimhashBucketCap
+      // degrade to O(occ) hub probing instead of all-pairs, on both
+      // engine sides (Dedup.simhashCandidatePairs; dd40 prices the
+      // recall cost of the cap sweep).
+      val banded = Dedup.barrier(Dedup.simhashBanded(s, d))
+      Dedup.simhashCandidatePairs(banded)
         .withColumn("hamming",
           expr("bit_count(sh_a ^ sh_b)").cast("long"))
         .filter(col("hamming") <= 3)
@@ -714,12 +708,10 @@ object Curation {
          |banded AS (
          |  SELECT doc_id, simhash, b AS band,
          |    (simhash >> (b * ${Dedup.SimhashBandBits})) & ${Dedup.SimhashBandMask} AS bval
-         |  FROM sims CROSS JOIN (SELECT unnest(range(${Dedup.SimhashBands})) AS b) t)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming FROM (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sh_a, b.simhash AS sh_b
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+         |  FROM sims CROSS JOIN (SELECT unnest(range(${Dedup.SimhashBands})) AS b) t),
+         |${Dedup.duckSimhashPairCtes("banded")}
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+         |FROM banded_pairs
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },

@@ -77,8 +77,12 @@ object Dedup {
   /** (doc_id, simhash) — unordered; dd04 adds the ORDER BY, dd07
     * consumes it barrier-materialized for the banded self-join.
     */
-  private[operators] def simhashes(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+  private[operators] def simhashes(s: SparkSession, d: String): DataFrame =
+    simhashesOf(Tables.documents(s, d))
+
+  /** Frame-input variant, for specs feeding crafted corpora. */
+  private[graft] def simhashesOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("token"))
       .withColumn("h", Hashing.hash64(col("token")))
@@ -155,6 +159,123 @@ object Dedup {
   val SimhashBands = 4
   val SimhashBandBits = 15 // SimhashBits / SimhashBands
   val SimhashBandMask = (1L << SimhashBandBits) - 1
+
+  /** Hot-bucket occupancy cap for the SimHash band self-joins (dd07,
+    * dd33) — the same hazard [[MinBucketCap]] closes for the
+    * min-shingle join: a near-constant field or templated text makes
+    * ONE 15-bit band value globally hot, and the band equi-join then
+    * pays Σ occ² pairs inside that single bucket regardless of how
+    * good the other 2^15−1 buckets are. Unlike min-shingle buckets
+    * (docs sharing one random shingle — honest occupancy ≤ 19),
+    * simhash band buckets legitimately concentrate ENTIRE near-dup
+    * clusters, and cluster size scales with the corpus (measured:
+    * the testdata's main cluster is 155 docs at sf0.01, 1,582 at
+    * sf0.1 — pure dropping at cap 128 loses 91% of true hamming≤3
+    * pairs at sf0.1). So the recipe here is cap + STAR FALLBACK, not
+    * cap + drop: buckets at ≤ cap do the full within-bucket pair
+    * join; hotter buckets degrade to O(occ) hub probing — every
+    * member pairs with the bucket's min-doc_id hub — preserving
+    * cluster connectivity (the thing dedup actually needs from a
+    * mega-cluster) at any scale while bounding the join at
+    * cap·(cap−1)/2 per kept bucket plus occ−1 per hot one. dd40
+    * PRICES the sweep (dd23's recipe on the simhash pipeline); the
+    * adversarial-corpus spec (Round8Spec) exercises the hot path.
+    * 1024 keeps the sf0.01 gate corpus un-capped and bites on the
+    * sf0.1 mega-cluster, where the star path is measured.
+    */
+  val SimhashBucketCap = 1024
+
+  /** (doc_id, simhash, band, bval) — the SimHash banding table the
+    * batch pair joins consume; ONE definition so dd07, dd33, and the
+    * dd40 pricing sweep band identically. NOT barriered here —
+    * callers own materialization (barrier is a single-slot cache).
+    */
+  private[graft] def simhashBanded(s: SparkSession, d: String): DataFrame =
+    simhashBandedOf(simhashes(s, d))
+
+  /** Frame-input variant, for specs feeding crafted corpora. */
+  private[graft] def simhashBandedOf(sims: DataFrame): DataFrame =
+    sims.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until SimhashBands).map(b =>
+          shiftright(col("simhash"), b * SimhashBandBits)
+            .bitwiseAND(SimhashBandMask)): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
+
+  /** Per-bucket stats the capped pair join needs: occupancy plus the
+    * star hub (min doc_id, with its simhash via min_by — doc_id is
+    * unique, so min_by is deterministic and matches DuckDB arg_min).
+    */
+  private[graft] def simhashBucketStats(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("occ"),
+        min(col("doc_id")).as("hub"),
+        min_by(col("simhash"), col("doc_id")).as("hub_sh"))
+
+  /** The kept-bucket filter side: (band, bval) with occupancy ≤
+    * [[SimhashBucketCap]] (slim — ids never ride this aggregate).
+    */
+  private[graft] def simhashKept(banded: DataFrame): DataFrame =
+    banded.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= SimhashBucketCap)
+      .select(col("band"), col("bval"))
+
+  /** Capped simhash candidate pairs — distinct
+    * (doc_a, doc_b, sh_a, sh_b), doc_a < doc_b: full within-bucket
+    * pairs for buckets at ≤ [[SimhashBucketCap]], hub star edges for
+    * hotter ones. `banded` should be barrier()-materialized by the
+    * caller (it is read three times: stats + two join sides).
+    */
+  private[graft] def simhashCandidatePairs(banded: DataFrame): DataFrame = {
+    val stats = simhashBucketStats(banded)
+    val kept = stats.filter(col("occ") <= SimhashBucketCap)
+      .select(col("band"), col("bval"))
+    val l = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+    val keptPairs = l.join(kept, Seq("band", "bval")).join(r, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    val starPairs = banded
+      .join(stats.filter(col("occ") > SimhashBucketCap)
+        .select(col("band"), col("bval"), col("hub"), col("hub_sh")),
+        Seq("band", "bval"))
+      .filter(col("doc_id") =!= col("hub")) // hub is the bucket min ⇒ hub < doc_id
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"),
+        col("hub_sh").as("sh_a"), col("simhash").as("sh_b"))
+    keptPairs.union(starPairs).distinct()
+  }
+
+  /** Oracle twin of [[simhashCandidatePairs]]: CTE bodies to append
+    * after a banded CTE named `banded` (columns doc_id, simhash,
+    * band, bval) — ending in `${banded}_pairs` with columns
+    * (doc_a, doc_b, sh_a, sh_b) — so every oracle caps and
+    * star-falls-back exactly as the Spark side does.
+    */
+  private[graft] def duckSimhashPairCtes(banded: String): String =
+    s"""${banded}_stats AS (
+       |  SELECT band, bval, COUNT(*) AS occ, MIN(doc_id) AS hub,
+       |    arg_min(simhash, doc_id) AS hub_sh
+       |  FROM $banded GROUP BY band, bval),
+       |${banded}_pairs AS (
+       |  SELECT DISTINCT doc_a, doc_b, sh_a, sh_b FROM (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      a.simhash AS sh_a, b.simhash AS sh_b
+       |    FROM $banded a
+       |    JOIN ${banded}_stats st
+       |      ON st.band = a.band AND st.bval = a.bval
+       |     AND st.occ <= $SimhashBucketCap
+       |    JOIN $banded b
+       |      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |    UNION ALL
+       |    SELECT st.hub AS doc_a, m.doc_id AS doc_b,
+       |      st.hub_sh AS sh_a, m.simhash AS sh_b
+       |    FROM $banded m
+       |    JOIN ${banded}_stats st
+       |      ON st.band = m.band AND st.bval = m.bval
+       |     AND st.occ > $SimhashBucketCap
+       |    WHERE m.doc_id <> st.hub))""".stripMargin
 
   /** Embedding near-dup banding geometry: 16 bands × 4 sign bits cover
     * all 64 dims once. Candidates = pairs sharing ≥1 band within their

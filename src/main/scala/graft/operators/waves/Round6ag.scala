@@ -40,19 +40,13 @@ object Round6ag {
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
         .withColumn("mh", lit(1L))
-      val shBanded = Dedup.barrierAlso(
-        Dedup.simhashes(s, d).select(col("doc_id"),
-            posexplode(array((0 until Dedup.SimhashBands).map(b =>
-              shiftright(col("simhash"), b * Dedup.SimhashBandBits)
-                .bitwiseAND(Dedup.SimhashBandMask)): _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "bval"))
-      val shPairs = shBanded.select(col("band"), col("bval"),
-          col("doc_id").as("doc_a"))
-        .join(shBanded.select(col("band"), col("bval"),
-          col("doc_id").as("doc_b")), Seq("band", "bval"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
+      // capped banding + star fallback (VERDICT r7): same hot-bucket
+      // guard as dd07 — ONE definition (simhashCandidatePairs), so
+      // the agreement census measures exactly the candidate generator
+      // the production join runs
+      val shBanded = Dedup.barrierAlso(Dedup.simhashBanded(s, d))
+      val shPairs = Dedup.simhashCandidatePairs(shBanded)
+        .select(col("doc_a"), col("doc_b"))
         .withColumn("sh", lit(1L))
       mhPairs.join(shPairs, Seq("doc_a", "doc_b"), "full_outer")
         .withColumn("method",
@@ -87,15 +81,13 @@ object Round6ag {
          |   AND a.doc_id < b.doc_id),
          |sims AS ($dd04),
          |sbanded AS (
-         |  SELECT doc_id, b AS band,
+         |  SELECT doc_id, simhash, b AS band,
          |    (simhash >> (b * ${Dedup.SimhashBandBits})) & ${Dedup.SimhashBandMask}
          |      AS bval
          |  FROM sims CROSS JOIN
          |    (SELECT unnest(range(${Dedup.SimhashBands})) AS b) t),
-         |shp AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sbanded a JOIN sbanded b
-         |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id),
+         |${Dedup.duckSimhashPairCtes("sbanded")},
+         |shp AS (SELECT DISTINCT doc_a, doc_b FROM sbanded_pairs),
          |cls AS (
          |  SELECT COALESCE(m.doc_a, s.doc_a) AS doc_a,
          |    COALESCE(m.doc_b, s.doc_b) AS doc_b,

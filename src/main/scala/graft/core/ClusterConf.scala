@@ -23,6 +23,14 @@ import org.apache.spark.sql.SparkSession
   *    per-partition hash tables the dedup operators build.
   *  - runtime bloom filters on: the q04-style semi-join reduction is
   *    asserted by PlanAuditSpec at cluster posture.
+  *  - RocksDB state store: at 100 TB the stateful streaming jobs
+  *    (stream dedup, sessionization, stream-stream joins) carry
+  *    state far beyond executor heap; the default HDFS-backed
+  *    provider keeps every version IN MEMORY per executor, RocksDB
+  *    spills to local disk with incremental checkpointing. Same
+  *    state semantics — RocksDbStateSpec runs the stateful jobs
+  *    under it and pins output equality against the default
+  *    provider.
   *  - UTC session timezone and nanosAsLong: the engine-parity
   *    contract every oracle-gated operator is proven under.
   *  - GraftExtensions: the AsOfJoin strategy, native hash/dot/
@@ -53,6 +61,8 @@ object ClusterConf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
 
   /** The local test twin — identical semantics-bearing settings

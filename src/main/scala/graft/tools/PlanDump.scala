@@ -99,7 +99,10 @@ object PlanDump {
     "tx35_stopword_profile", "ss34_two_stage_recall",
     "ev74_lateness_quantiles", "ev75_join_state_model",
     "dd39_dup_distance_octaves", "tx36_len_quantiles_by_lang",
-    "pk20_window_doc_mixing", "mm14_cross_source_sharing")
+    "pk20_window_doc_mixing", "mm14_cross_source_sharing",
+    // round-8 waves: capped+star simhash pair generation and its
+    // pricing sweep, the BPE trainer's encode-side join
+    "dd40_simhash_cap_sweep", "dd07_hamming_pairs", "pk22_bpe_fertility")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

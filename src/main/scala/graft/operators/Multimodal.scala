@@ -92,6 +92,62 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
+  /** Deterministic PGM payload per doc (the media-build direction):
+    * w = 4 + id%5, h = 3 + id%4, pixel k = (id·31 + k·17) mod 256 —
+    * a closed form the DuckDB oracle reproduces WITHOUT touching
+    * bytes, so the decode gate checks the codec, not a shared parser.
+    */
+  def pgmMedia(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val outSchema = StructType(base.schema.fields ++ Seq(
+      StructField("payload", BinaryType)))
+    val idIdx = base.schema.fieldIndex("doc_id")
+    val rdd = base.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val px = Array.tabulate(w * h)(k => ((id * 31 + k * 17) % 256).toByte)
+        Row.fromSeq(r.toSeq :+ graft.sources.PgmCodec.encode(w, h, 255, px))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL decode via [[graft.sources.PgmCodec]] — partition-batched
+    * like [[fakeDecode]] (codec "init" is the object load, amortized
+    * per partition by construction). Undecodable payloads yield no
+    * feature row (the 100 TB media-scan posture: corrupt bytes are
+    * data, not exceptions).
+    */
+  def pgmFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val keep = media.schema.fields.filterNot(_.name == "payload")
+    val outSchema = StructType(keep ++ Seq(
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("n_px", LongType), StructField("sum_px", LongType),
+      StructField("min_px", LongType), StructField("max_px", LongType)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => media.schema.fieldIndex(f.name))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        graft.sources.PgmCodec.decode(r.getAs[Array[Byte]](payloadIdx)).map { img =>
+          var s = 0L; var mn = 255L; var mx = 0L
+          var k = 0
+          while (k < img.pixels.length) {
+            val v = img.pixel(k).toLong
+            s += v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq[Any](
+            img.width.toLong, img.height.toLong, img.pixels.length.toLong,
+            s, mn, mx))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map("mm02_decode_features" -> (mm02 _))
 

@@ -412,4 +412,55 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(bad === 0L, s"seed=$seed")
     }
   }
+
+  test("capped+star simhash pairs: cold-bucket completeness, subset, hub cover") {
+    import graft.operators.Dedup
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      // random corpus with engineered clusters: a few identical-text
+      // clusters (one pushed above the cap), plus unique-text docs
+      val vocab = Vector.tabulate(40)(i => ("w" + ('a' + i % 26).toChar + i))
+      def text(): String =
+        Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      var id = 0L
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val clusterSizes = Seq(Dedup.SimhashBucketCap.toInt + 40 + rnd.nextInt(60),
+        5 + rnd.nextInt(20), 2)
+      clusterSizes.foreach { n =>
+        val t = text()
+        (0 until n).foreach { _ => docs += ((id, t)); id += 1 }
+      }
+      (0 until 80).foreach { _ => docs += ((id, text())); id += 1 }
+      val banded = Dedup.simhashBandedOf(
+        Dedup.simhashesOf(docs.toSeq.toDF("doc_id", "text"))).persist()
+      val capped = Dedup.simhashCandidatePairs(banded)
+        .select(col("doc_a"), col("doc_b")).persist()
+      // full pairs with per-pair min shared-bucket occupancy
+      val occ = banded.groupBy(col("band"), col("bval"))
+        .agg(count(lit(1)).as("occ"))
+      val full = banded.join(occ, Seq("band", "bval"))
+        .select(col("band"), col("bval"), col("occ"), col("doc_id").as("doc_a"))
+        .join(banded.select(col("band"), col("bval"), col("doc_id").as("doc_b")),
+          Seq("band", "bval"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(min(col("occ")).as("min_occ")).persist()
+      // subset: every capped pair is a full-banding candidate
+      assert(capped.exceptAll(full.select(col("doc_a"), col("doc_b")))
+        .count() === 0L, s"seed=$seed")
+      // completeness: every pair sharing a COLD bucket survives
+      val cold = full.filter(col("min_occ") <= Dedup.SimhashBucketCap)
+        .select(col("doc_a"), col("doc_b"))
+      assert(cold.exceptAll(capped).count() === 0L, s"seed=$seed")
+      // hub cover: in every hot bucket, the hub pairs with each member
+      val hot = Dedup.simhashBucketStats(banded)
+        .filter(col("occ") > Dedup.SimhashBucketCap)
+        .select(col("band"), col("bval"), col("hub"))
+      val expectedStar = banded.join(hot, Seq("band", "bval"))
+        .filter(col("doc_id") =!= col("hub"))
+        .select(col("hub").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+      assert(expectedStar.exceptAll(capped).count() === 0L, s"seed=$seed")
+      banded.unpersist(); capped.unpersist(); full.unpersist()
+    }
+  }
 }

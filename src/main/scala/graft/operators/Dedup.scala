@@ -480,23 +480,30 @@ object Dedup {
        |  FROM sh_t)""".stripMargin
   }
 
-  private[operators] lazy val duckBandedCtes: String = {
+  private[operators] lazy val duckBandedCtes: String =
+    duckBandedCtesFrom("documents", "")
+
+  /** [[duckBandedCtes]] over an arbitrary (doc_id, text) relation
+    * `src`, CTE names prefixed — so an oracle can band TWO corpus
+    * snapshots side by side (dd41) with the exact dd03 construction.
+    */
+  private[operators] def duckBandedCtesFrom(src: String, prefix: String): String = {
     val sigExprs = (0 until MinhashK).map(k =>
       s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
       .mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"CAST(sig_${b * RowsPerBand + r} AS VARCHAR)")
         .mkString(" || ',' || ")
-      s"SELECT doc_id, $b AS band, ${Hashing.duckHash64(s"($parts)")} AS band_hash FROM sigs"
+      s"SELECT doc_id, $b AS band, ${Hashing.duckHash64(s"($parts)")} AS band_hash FROM ${prefix}sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""sh_t AS (
-       |  SELECT doc_id, $duckShs AS shs FROM documents
+    s"""${prefix}sh_t AS (
+       |  SELECT doc_id, $duckShs AS shs FROM $src
        |  WHERE len($duckToks) >= 3),
-       |sigs AS (
+       |${prefix}sigs AS (
        |  SELECT doc_id,
        |    $sigExprs
-       |  FROM sh_t),
-       |banded AS (
+       |  FROM ${prefix}sh_t),
+       |${prefix}banded AS (
        |  $bandRows)""".stripMargin
   }
   private[operators] val duckShStr =

@@ -463,6 +463,9 @@ class PlanAuditSpec extends SparkSpec {
       // ev75 crosses the minute-grid prefix table with the 3-row
       // delay dial before the shifted equi-join
       "ev75_join_state_model",
+      // dd41 chains the census's five 1-row stat aggregates
+      // (v1/v2/exact/resid/lsh counts) — every cross side is one row
+      "dd41_cross_snapshot",
       // dd39 crosses the ≤64-row octave census with its 1-row total
       "dd39_dup_distance_octaves",
       // pk20 crosses docs and slices with the 3-row context-size dial

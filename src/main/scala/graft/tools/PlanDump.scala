@@ -102,7 +102,10 @@ object PlanDump {
     "pk20_window_doc_mixing", "mm14_cross_source_sharing",
     // round-8 waves: capped+star simhash pair generation and its
     // pricing sweep, the BPE trainer's encode-side join
-    "dd40_simhash_cap_sweep", "dd07_hamming_pairs", "pk22_bpe_fertility")
+    "dd40_simhash_cap_sweep", "dd07_hamming_pairs", "pk22_bpe_fertility",
+    // round-8 late waves: the cross-snapshot exact-carry→banded-probe
+    // cascade (fingerprint join, two banded sides, shortlist verify)
+    "dd41_cross_snapshot")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

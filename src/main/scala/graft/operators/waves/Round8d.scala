@@ -27,6 +27,30 @@ object Round8d {
   /** dd02/dd27's duplicate threshold in fixed-point (jfx ≥ 5000). */
   private val JfxT = 5000L
 
+  /** The round-8 snapshot split, ONE definition (dd41 + tx37 and both
+    * DuckDB twins must version identically): doc_id%7==0 removed in
+    * v2, %7==6 added (absent from v1), %5==2 modified by a 3-token
+    * append.
+    */
+  private[graft] def snapshotV1(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) =!= 6)
+  private[graft] def snapshotV2(docs: DataFrame): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 2,
+          concat(col("text"), lit(" rev2 appendix note")))
+          .otherwise(col("text")))
+
+  /** The DuckDB twin of the split (v1/v2 CTE bodies). */
+  private[operators] val duckSnapshotCtes: String =
+    """v1 AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 6),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 2 THEN text || ' rev2 appendix note'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dd41: cross-snapshot predecessor linking ------------------------
     // v1 = docs with doc_id%7 != 6; v2 = docs with doc_id%7 != 0, and
@@ -38,12 +62,8 @@ object Round8d {
     // link (max exact-Jaccard fixed-point, ties to min old_id).
     "dd41_cross_snapshot" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val v1 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 6)
-      val v2 = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-        .withColumn("text",
-          when(pmod(col("doc_id"), lit(5)) === 2,
-            concat(col("text"), lit(" rev2 appendix note")))
-            .otherwise(col("text")))
+      val v1 = snapshotV1(docs)
+      val v2 = snapshotV2(docs)
 
       def fp(c: org.apache.spark.sql.Column) =
         Hashing.hash64(lower(regexp_replace(trim(c), "\\s+", " ")))
@@ -123,13 +143,7 @@ object Round8d {
     val normFp = Hashing.duckHash64(
       """lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""")
     Map("dd41_cross_snapshot" ->
-      s"""WITH v1 AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 6),
-         |v2 AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 5 = 2 THEN text || ' rev2 appendix note'
-         |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % 7 <> 0),
+      s"""WITH $duckSnapshotCtes,
          |v1fp AS (
          |  SELECT h, MIN(doc_id) AS old_id FROM (
          |    SELECT doc_id, $normFp AS h FROM v1) GROUP BY h),

@@ -466,6 +466,8 @@ class PlanAuditSpec extends SparkSpec {
       // dd41 chains the census's five 1-row stat aggregates
       // (v1/v2/exact/resid/lsh counts) — every cross side is one row
       "dd41_cross_snapshot",
+      // tx37 broadcasts the 1-row totals and 1-row churn aggregates
+      "tx37_snapshot_drift",
       // dd39 crosses the ≤64-row octave census with its 1-row total
       "dd39_dup_distance_octaves",
       // pk20 crosses docs and slices with the 3-row context-size dial

@@ -148,6 +148,70 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Docs → WARC archive members (the build direction for mm16): one
+    * archive per (source, doc_id div 16) group — ≤16 records, ordered
+    * by doc_id — each record carrying the id/date headers and the
+    * UTF-8 text as its Content-Length-framed body. Bodies shuffle
+    * ONCE (the archive groupBy); assembly is partition-batched and
+    * nothing passes through the driver.
+    */
+  def warcMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val grouped = docs
+      .select(col("source"), expr("doc_id div 16").as("bucket"),
+        struct(col("doc_id"), col("text")).as("rec"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType), StructField("bucket", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = grouped.rdd.mapPartitions { it =>
+      it.map { r =>
+        val recs = r.getAs[scala.collection.Seq[Row]]("recs").map { rec =>
+          val id = rec.getLong(0)
+          val headers = Seq(
+            "WARC-Type" -> "response",
+            "WARC-Record-ID" -> s"urn:graft:$id",
+            "WARC-Date" -> "2026-01-01T00:00:00Z")
+          (headers, rec.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        Row(r.getAs[String]("source"), r.getAs[Long]("bucket"),
+          graft.sources.WarcCodec.encodeArchive(recs.toSeq))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Archive members → one row per parsed WARC record (the read
+    * direction): record id, declared Content-Length, and the ACTUAL
+    * body byte count — any framing drift shows up as a mismatch the
+    * census hashes. Unparseable archives yield no rows (corrupt
+    * bytes are data, not exceptions — PgmCodec's posture).
+    */
+  def warcRecords(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("record_id", StringType),
+      StructField("declared_len", LongType),
+      StructField("body_len", LongType)))
+    val srcIdx = media.schema.fieldIndex("source")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val src = r.getString(srcIdx)
+        graft.sources.WarcCodec.decode(r.getAs[Array[Byte]](payloadIdx))
+          .toSeq.flatten.map { rec =>
+            Row(src,
+              rec.header("WARC-Record-ID").getOrElse(""),
+              rec.header("Content-Length").flatMap(_.toLongOption).getOrElse(-1L),
+              rec.body.length.toLong)
+          }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map("mm02_decode_features" -> (mm02 _))
 

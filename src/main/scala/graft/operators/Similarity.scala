@@ -64,7 +64,7 @@ object Similarity {
     }
   )
 
-  private val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
+  private[operators] val duckNorm = "sqrt(list_sum(list_transform(emb, x -> x * x)))"
   private[operators] val duckBucket = (0 until 8).map(i =>
     s"CASE WHEN emb[${i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
 
@@ -112,7 +112,7 @@ object Similarity {
     }
   )
 
-  private val duckCos =
+  private[operators] val duckCos =
     "floor((list_sum(list_transform(range(len(%s)), i -> %s[i+1] * %s[i+1])) / (%s * %s)) * 10000) / 10000"
 
   /** DuckDB CTE prefix mirroring [[assignCells]] (`WITH e, cents,

@@ -468,6 +468,10 @@ class PlanAuditSpec extends SparkSpec {
       "dd41_cross_snapshot",
       // tx37 broadcasts the 1-row totals and 1-row churn aggregates
       "tx37_snapshot_drift",
+      // ss35 broadcasts the bounded query panel (~n/97 rows) for the
+      // intentionally-quadratic exact-truth arm (dd13's precedent)
+      // and the ≤16-row centroid tables per layout
+      "ss35_nlist_sweep",
       // dd39 crosses the ≤64-row octave census with its 1-row total
       "dd39_dup_distance_octaves",
       // pk20 crosses docs and slices with the 3-row context-size dial

@@ -472,6 +472,9 @@ class PlanAuditSpec extends SparkSpec {
       // intentionally-quadratic exact-truth arm (dd13's precedent)
       // and the ≤16-row centroid tables per layout
       "ss35_nlist_sweep",
+      // ev76 builds ev24's hour grid (1-row bounds aggregate ×
+      // distinct types) plus a 1-row n_hours broadcast
+      "ev76_backlog_trajectory",
       // dd39 crosses the ≤64-row octave census with its 1-row total
       "dd39_dup_distance_octaves",
       // pk20 crosses docs and slices with the 3-row context-size dial

@@ -467,18 +467,22 @@ object Dedup {
   /** sh_t + sigs CTE bodies alone (no banding) — for oracles that
     * band the signature table with their OWN geometry (dd38).
     */
-  private[operators] lazy val duckShTSigsCtes: String = {
-    val sigExprs = (0 until MinhashK).map(k =>
+  /** The K signature expressions, ONE definition for every oracle
+    * CTE builder (drift here would split the banding constructions).
+    */
+  private def duckSigExprs: String =
+    (0 until MinhashK).map(k =>
       s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
       .mkString(",\n    ")
+
+  private[operators] lazy val duckShTSigsCtes: String =
     s"""sh_t AS (
        |  SELECT doc_id, $duckShs AS shs FROM documents
        |  WHERE len($duckToks) >= 3),
        |sigs AS (
        |  SELECT doc_id,
-       |    $sigExprs
+       |    $duckSigExprs
        |  FROM sh_t)""".stripMargin
-  }
 
   private[operators] lazy val duckBandedCtes: String =
     duckBandedCtesFrom("documents", "")
@@ -488,9 +492,6 @@ object Dedup {
     * snapshots side by side (dd41) with the exact dd03 construction.
     */
   private[operators] def duckBandedCtesFrom(src: String, prefix: String): String = {
-    val sigExprs = (0 until MinhashK).map(k =>
-      s"list_min(list_transform(shs, h -> (${A(k)} * (h % 4294967296) + ${B(k)}) % $P)) AS sig_$k")
-      .mkString(",\n    ")
     val bandRows = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"CAST(sig_${b * RowsPerBand + r} AS VARCHAR)")
         .mkString(" || ',' || ")
@@ -501,7 +502,7 @@ object Dedup {
        |  WHERE len($duckToks) >= 3),
        |${prefix}sigs AS (
        |  SELECT doc_id,
-       |    $sigExprs
+       |    $duckSigExprs
        |  FROM ${prefix}sh_t),
        |${prefix}banded AS (
        |  $bandRows)""".stripMargin

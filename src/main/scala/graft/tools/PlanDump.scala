@@ -104,8 +104,12 @@ object PlanDump {
     // pricing sweep, the BPE trainer's encode-side join
     "dd40_simhash_cap_sweep", "dd07_hamming_pairs", "pk22_bpe_fertility",
     // round-8 late waves: the cross-snapshot exact-carry→banded-probe
-    // cascade (fingerprint join, two banded sides, shortlist verify)
-    "dd41_cross_snapshot")
+    // cascade (fingerprint join, two banded sides, shortlist verify),
+    // the one-census drift fold, the nlist sweep's unioned broadcast
+    // assignments, the delta-maintenance union-aggregate, and the
+    // double-cumulative Lindley windows
+    "dd41_cross_snapshot", "tx37_snapshot_drift", "ss35_nlist_sweep",
+    "q75_delta_view_maintenance", "ev76_backlog_trajectory")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

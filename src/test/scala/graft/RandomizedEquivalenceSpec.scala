@@ -463,4 +463,49 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       banded.unpersist(); capped.unpersist(); full.unpersist()
     }
   }
+
+  test("q75 delta algebra equals a direct v2 recompute on random corpora") {
+    import graft.operators.Round8d
+    for (seed <- Seq(11, 47)) {
+      val rnd = new Random(seed)
+      val sources = Vector("web", "book", "code", "wiki")
+      def text(): String =
+        Seq.fill(rnd.nextInt(12))("w" + rnd.nextInt(30)).mkString(" ")
+      // ids dense from 0 so every %7/%5 class is populated; some docs
+      // empty-text (the strlen/token edge)
+      val docs = (0 until 400).map(i =>
+        (i.toLong, sources(rnd.nextInt(sources.size)), text()))
+        .toDF("doc_id", "source", "text").persist()
+      def census(v: org.apache.spark.sql.DataFrame) = v
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+"))).cast("long").as("n_tokens"),
+          sum(octet_length(col("text"))).cast("long").as("total_bytes"))
+      // direct: census(v2). delta: census(v1) composed with the four
+      // signed delta classes — the algebra the operator ships
+      val direct = census(Round8d.snapshotV2(docs))
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      def signed(v: org.apache.spark.sql.DataFrame, s: Int) = v
+        .select(col("source"),
+          lit(s.toLong).as("d0"),
+          (lit(s) * size(split(trim(col("text")), "\\s+"))).cast("long").as("d1"),
+          (lit(s) * octet_length(col("text"))).cast("long").as("d2"))
+      val v1 = Round8d.snapshotV1(docs)
+      val m7 = pmod(col("doc_id"), lit(7)); val m5 = pmod(col("doc_id"), lit(5))
+      val delta = signed(v1, 1)
+        .unionByName(signed(v1.filter(m7 === 0), -1))
+        .unionByName(signed(Round8d.snapshotV2(docs).filter(m7 === 6), 1))
+        .unionByName(signed(v1.filter(m7 =!= 0 && m5 === 2), -1))
+        .unionByName(signed(Round8d.snapshotV2(docs)
+          .filter(m7 =!= 6 && m5 === 2), 1))
+        .groupBy(col("source"))
+        .agg(sum(col("d0")).cast("long").as("n_docs"),
+          sum(col("d1")).cast("long").as("n_tokens"),
+          sum(col("d2")).cast("long").as("total_bytes"))
+        .filter(col("n_docs") > 0)
+        .collect().map(r => r.getString(0) -> r.toSeq.tail).toMap
+      assert(delta === direct, s"seed=$seed")
+      docs.unpersist()
+    }
+  }
 }

@@ -9,13 +9,16 @@ import graft.core.Tables
   * regex stand-in critique on pk14 with the actual algorithm
   * (Sennrich et al. 2016), run as relational plans on BOTH engines.
   *
-  * Representation: a word's symbol sequence is a prefix-delimited
-  * string `|s1|s2|…` — every symbol occurrence starts right after a
-  * `|` and symbols are `[a-z]+` runs (no delimiter collisions), so
-  * applying merge (x, y) → xy is string `replace(seq, "|x|y", "|xy")`
-  * and BOTH engines' replace() is sequential left-to-right
-  * non-overlapping — exactly BPE's greedy within-round application
-  * (`|a|a|a` merges to `|aa|a`, never `|a|aa`).
+  * Representation: every symbol is wrapped in its OWN delimiters —
+  * a word's sequence is `|s1||s2||s3|` — so applying merge (x, y) is
+  * `replace(seq, "|x||y|", "|xy|")` with BOTH boundaries exact: the
+  * pattern cannot fire where y is a proper prefix of the following
+  * symbol (`|c||ab|` does NOT match pair (c, a) — a left- or
+  * right-open pattern would), and consecutive occurrences share no
+  * characters, so both engines' sequential left-to-right
+  * non-overlapping replace() is exactly BPE's greedy within-round
+  * application (`|a||a||a|` merges to `|aa||a|`, never `|a||aa|`;
+  * `|a||b||a||b|` merges BOTH pairs in one pass).
   *
   * Scale posture: training folds the corpus ONCE to the (word, cnt)
   * vocabulary table; every merge round is a vocab-sized
@@ -45,17 +48,18 @@ object Round8b {
       .select(explode(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
         .as("word"))
       .groupBy(col("word")).agg(count(lit(1)).cast("long").as("cnt"))
-      .withColumn("seq", regexp_replace(col("word"), "(.)", "|$1"))
+      .withColumn("seq", regexp_replace(col("word"), "(.)", "|$1|"))
 
   /** Adjacent symbol pairs of a seq frame, space-joined ("x y"),
-    * weighted by word count: (p, n).
+    * weighted by word count: (p, n). Symbols are the `[a-z]+` runs
+    * between the delimiter pairs.
     */
   private def pairCounts(words: DataFrame): DataFrame = {
-    val sy = split(col("seq"), "\\|") // element 1 is "" (prefix delim)
+    val sy = regexp_extract_all(col("seq"), lit("[a-z]+"), lit(0))
     words
       .select(col("cnt"),
-        explode(when(size(sy) >= 3,
-            transform(sequence(lit(2), size(sy) - 1), k =>
+        explode(when(size(sy) >= 2,
+            transform(sequence(lit(1), size(sy) - 1), k =>
               concat(element_at(sy, k), lit(" "), element_at(sy, k + 1))))
           .otherwise(array().cast("array<string>"))).as("p"))
       .groupBy(col("p")).agg(sum(col("cnt")).cast("long").as("n"))
@@ -99,15 +103,16 @@ object Round8b {
         val Array(x, y) = p.split(" ", 2)
         words = words
           .withColumn("seq", replace(col("seq"),
-            lit("|" + x + "|" + y), lit("|" + x + y)))
+            lit("|" + x + "||" + y + "|"), lit("|" + x + y + "|")))
           .localCheckpoint()
         rows += new CurveRow(r.toLong, x, y, n, -1L)
       }
     }
     if (!saturated)
       rows.last.syms = words
-        .agg(sum(col("cnt") * (length(col("seq")) -
-          length(replace(col("seq"), lit("|"), lit(""))))).cast("long"))
+        .agg(sum(expr(
+          "cnt * ((length(seq) - length(replace(seq, '|', ''))) div 2)"))
+          .cast("long"))
         .head.getLong(0)
     (words, rows.toSeq)
   }
@@ -138,7 +143,7 @@ object Round8b {
     "pk22_bpe_fertility" -> { (s, d) =>
       val enc = train(s, d)._1
         .select(col("word"),
-          (length(col("seq")) - length(replace(col("seq"), lit("|"), lit(""))))
+          expr("(length(seq) - length(replace(seq, '|', ''))) div 2")
             .cast("long").as("syms"))
       val langWords = Tables.documents(s, d)
         .select(col("lang"),
@@ -165,16 +170,24 @@ object Round8b {
       val prev = s"s${r - 1}"
       s"""p$r AS (
          |  SELECT p, CAST(SUM(cnt) AS BIGINT) AS n FROM (
-         |    SELECT cnt, unnest(list_transform(range(2, len(sy)),
+         |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
          |      k -> sy[k] || ' ' || sy[k + 1])) AS p
-         |    FROM (SELECT cnt, string_split(seq, '|') AS sy FROM $prev))
+         |    FROM (SELECT cnt, regexp_extract_all(seq, '[a-z]+') AS sy
+         |          FROM $prev))
          |  GROUP BY p),
          |b$r AS (SELECT p, n FROM p$r ORDER BY n DESC, p LIMIT 1),
-         |s$r AS (
+         |s$r AS MATERIALIZED (
+         |  -- LEFT JOIN against the ≤1-row argmax + COALESCE: when no
+         |  -- pair remains (b$r empty) the round passes the last
+         |  -- vocabulary through unchanged, mirroring the Spark loop —
+         |  -- and keeps ONE reference to $prev (a UNION ALL guard
+         |  -- would reference it twice and DuckDB's CTE inlining then
+         |  -- grows the chain 3^rounds). MATERIALIZED pins the linear
+         |  -- evaluation the chain needs.
          |  SELECT word, cnt,
-         |    replace(seq, '|' || replace(p, ' ', '|'),
-         |      '|' || replace(p, ' ', '')) AS seq
-         |  FROM $prev CROSS JOIN b$r)""".stripMargin
+         |    COALESCE(replace(seq, '|' || replace(p, ' ', '||') || '|',
+         |      '|' || replace(p, ' ', '') || '|'), seq) AS seq
+         |  FROM $prev LEFT JOIN b$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""w AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -182,13 +195,13 @@ object Round8b {
        |    FROM documents)
        |  GROUP BY word),
        |s0 AS (
-       |  SELECT word, cnt, regexp_replace(word, '(.)', '|\\1', 'g') AS seq
+       |  SELECT word, cnt, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq
        |  FROM w),
        |$rounds""".stripMargin
   }
 
   private def duckSyms(tbl: String): String =
-    s"""(SELECT CAST(SUM(cnt * (len(seq) - len(replace(seq, '|', ''))))
+    s"""(SELECT CAST(SUM(cnt * ((len(seq) - len(replace(seq, '|', ''))) // 2))
        |    AS BIGINT) FROM $tbl)""".stripMargin
 
   def oracles: Map[String, String] = Map(
@@ -214,7 +227,7 @@ object Round8b {
       s"""WITH $duckTrainCtes,
          |enc AS (
          |  SELECT word,
-         |    CAST(len(seq) - len(replace(seq, '|', '')) AS BIGINT) AS syms
+         |    CAST((len(seq) - len(replace(seq, '|', ''))) // 2 AS BIGINT) AS syms
          |  FROM s$NMerges),
          |lw AS (
          |  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS lcnt FROM (

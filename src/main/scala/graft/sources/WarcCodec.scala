@@ -101,7 +101,9 @@ object WarcCodec {
       case Some(n) if n >= 0 && n <= Int.MaxValue => n.toInt
       case _ => return None
     }
-    if (bytes.length - i < len + 4) return None
+    // long arithmetic: a crafted Content-Length near Int.MaxValue
+    // must truncate-reject here, not overflow into copyOfRange
+    if ((bytes.length - i).toLong < len.toLong + 4) return None
     val body = java.util.Arrays.copyOfRange(bytes, i, i + len)
     i += len
     if (bytes(i) != '\r' || bytes(i + 1) != '\n' ||

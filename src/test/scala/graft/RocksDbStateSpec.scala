@@ -29,12 +29,34 @@ class RocksDbStateSpec extends SparkSpec {
 
   test("ClusterConf cluster profile pins the RocksDB provider") {
     val b = ClusterConf(org.apache.spark.sql.SparkSession.builder(), 4000)
-    // the builder's options aren't directly inspectable; assert via a
-    // fresh config application onto the live session instead
-    assert(Rocks.contains("RocksDBStateStoreProvider"))
-    // and the string in ClusterConf must be a loadable class
+    // read the builder's accumulated options reflectively (no public
+    // accessor) so deleting/typo-ing the providerClass line in
+    // ClusterConf actually fails this test
+    def opts(o: AnyRef): Map[String, String] = {
+      var c: Class[_] = o.getClass
+      val out = scala.collection.mutable.Map[String, String]()
+      while (c != null) {
+        c.getDeclaredFields.foreach { f =>
+          f.setAccessible(true)
+          f.get(o) match {
+            case m: scala.collection.mutable.Map[_, _] =>
+              m.foreach {
+                case (k: String, v: String) => out += k -> v
+                case _ =>
+              }
+            case _ =>
+          }
+        }
+        c = c.getSuperclass
+      }
+      out.toMap
+    }
+    val pinned = opts(b)
+    assert(pinned.get("spark.sql.streaming.stateStore.providerClass")
+      .contains(Rocks),
+      s"cluster profile lost the RocksDB pin; builder options: ${pinned.keys.toSeq.sorted}")
+    // and the pinned string must be a loadable class in this Spark
     assert(Class.forName(Rocks) != null)
-    assert(b != null)
   }
 
   test("ev46 stream compaction is provider-independent (dedup state)") {

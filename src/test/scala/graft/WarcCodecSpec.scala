@@ -82,6 +82,14 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.decode(good ++ "garbage".getBytes(UTF_8)).isEmpty)
     // empty archive is valid and empty
     assert(WarcCodec.decode(Array.emptyByteArray) === Some(Seq()))
+    // a Content-Length near Int.MaxValue must reject by truncation,
+    // not overflow the bounds check into a throwing copyOfRange
+    assert(WarcCodec.decode(
+      "WARC/1.0\r\nContent-Length: 2147483647\r\n\r\nshort\r\n\r\n"
+        .getBytes(UTF_8)).isEmpty)
+    assert(WarcCodec.decode(
+      "WARC/1.0\r\nContent-Length: 2147483644\r\n\r\n\r\n\r\n"
+        .getBytes(UTF_8)).isEmpty)
   }
 
   test("zero-length bodies round-trip") {

@@ -212,6 +212,67 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Docs → raw-PCM clips (mm17's build direction): deterministic
+    * 16-bit samples synthesized from doc_id (the closed form the
+    * oracle recomputes without bytes), packed through the REAL
+    * [[graft.sources.PcmCodec]] byte layout.
+    */
+  def pcmMedia(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val outSchema = StructType(base.schema.fields :+
+      StructField("payload", BinaryType))
+    val idIdx = base.schema.fieldIndex("doc_id")
+    val rdd = base.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (400 + (id % 7) * 64).toInt
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7 + k.toLong * 13) % 4096) - 2048).toShort)
+        Row.fromSeq(r.toSeq :+ graft.sources.PcmCodec.encode(samples))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL PCM decode + frame segmentation (win samples per frame, hop
+    * stride): per clip, frame count, frames whose mean |amplitude|
+    * clears `gate`, and the loudest frame's mean. Partition-batched
+    * like [[pgmFeatures]]; undecodable payloads yield no row.
+    */
+  def pcmFrames(media: DataFrame, win: Int, hop: Int, gate: Long): DataFrame = {
+    val spark = media.sparkSession
+    val keep = media.schema.fields.filterNot(_.name == "payload")
+    val outSchema = StructType(keep ++ Seq(
+      StructField("n_samples", LongType), StructField("n_frames", LongType),
+      StructField("active_frames", LongType),
+      StructField("max_frame_mean", LongType)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => media.schema.fieldIndex(f.name))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        graft.sources.PcmCodec.decode(r.getAs[Array[Byte]](payloadIdx)).flatMap { s =>
+          if (s.length < win) None
+          else {
+            val nf = (s.length - win) / hop + 1
+            var active = 0L; var maxMean = 0L
+            var f = 0
+            while (f < nf) {
+              var sum = 0L; var j = 0
+              while (j < win) { sum += math.abs(s(f * hop + j).toLong); j += 1 }
+              val mean = sum / win
+              if (mean >= gate) active += 1
+              if (mean > maxMean) maxMean = mean
+              f += 1
+            }
+            Some(Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq[Any](
+              s.length.toLong, nf.toLong, active, maxMean)))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def queries2: Map[String, (SparkSession, String) => DataFrame] =
     Map("mm02_decode_features" -> (mm02 _))
 

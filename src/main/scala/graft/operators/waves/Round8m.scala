@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-8 thirteenth wave: bitmap audience algebra (q78), ANN
+  * hubness census (ss37), prefix-cache yield (pk23).
+  *
+  * q78 is the bitmap-index set algebra every OLAP engine ships
+  * (Druid/ClickHouse groupBitmap): audience overlap across event
+  * types WITHOUT a pairwise user join — users fold into word-sharded
+  * 62-bit bitmap words (bounded: |types| × ⌈users/62⌉ rows), pairs
+  * AND word-by-word, popcount sums. The DuckDB oracle computes the
+  * same overlaps DIRECTLY from distinct-user joins — a cross-
+  * algorithm equivalence gate (q75's pattern), not a bitmap replay.
+  * 62-bit words because DuckDB raises on signed `1::BIGINT << 63`
+  * (and 62 keeps every mask positive on both engines).
+  */
+object Round8m {
+
+  private val Fx = 10000L
+
+  /** q78: bits per bitmap word (≤ 62 keeps shifts overflow-free). */
+  private val WordBits = 62L
+
+  /** ss37: neighbors per query for the k-occurrence census. */
+  private val HubK = 5
+
+  /** pk23: prefix lengths (tokens) priced for cache sharing. */
+  private val PrefixLens = Seq(8, 32, 128)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- q78: word-sharded bitmap audience overlap --------------------
+    "q78_bitmap_audience" -> { (s, d) =>
+      val words = Dedup.barrier(Tables.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .select(col("event_type"),
+          expr(s"user_id div $WordBits").as("word"),
+          expr(s"shiftleft(1L, cast(user_id % $WordBits AS INT))").as("m"))
+        .groupBy(col("event_type"), col("word"))
+        .agg(expr("bit_or(m)").as("bits")))
+      val totals = words.groupBy(col("event_type"))
+        .agg(sum(expr("bit_count(bits)")).cast("long").as("n_users"))
+      val pairs = words.select(col("event_type").as("type_a"),
+          col("word"), col("bits").as("ba"))
+        .join(words.select(col("event_type").as("type_b"),
+          col("word"), col("bits").as("bb")), Seq("word"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(sum(expr("bit_count(ba & bb)")).cast("long").as("n_common"))
+      pairs
+        .join(totals.select(col("event_type").as("type_a"),
+          col("n_users").as("users_a")), Seq("type_a"))
+        .join(totals.select(col("event_type").as("type_b"),
+          col("n_users").as("users_b")), Seq("type_b"))
+        .withColumn("jaccard_fx", expr(
+          s"(n_common * $Fx) div (users_a + users_b - n_common)"))
+        .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+          col("n_common"), col("jaccard_fx"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // --- ss37: hubness (k-occurrence) census --------------------------
+    // Every vector's top-k (cos desc, id asc) over the corpus; the
+    // IN-degree N_k(x) = how many vectors list x among their k. High-
+    // dim spaces concentrate it (hub points poison ANN recall); the
+    // census reports the in-degree octave histogram + orphan share.
+    // The all-pairs score is the documented quadratic eval arm — the
+    // embeddings table is fixed-size (500), and orphans are found by
+    // a LEFT join from the corpus id list, never a full re-scan.
+    "ss37_hubness" -> { (s, d) =>
+      val e = Dedup.barrier(Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .withColumn("norm", Similarity.l2norm(col("emb"))))
+      val q = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+      val topk = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos_fx", floor(
+          Similarity.dot(col("emb"), col("q_emb"))
+            / (col("norm") * col("q_norm")) * Fx).cast("long"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_fx").desc, col("vec_id"))))
+        .filter(col("rk") <= HubK)
+      val indeg = topk.groupBy(col("vec_id"))
+        .agg(count(lit(1)).cast("long").as("indeg"))
+      val full = e.select(col("vec_id"))
+        .join(indeg, Seq("vec_id"), "left")
+        .withColumn("indeg", coalesce(col("indeg"), lit(0L)))
+      full
+        .withColumn("octave",
+          (length(bin(col("indeg") + 1)) - 1).cast("long"))
+        .groupBy(col("octave"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          max(col("indeg")).cast("long").as("max_indeg"),
+          sum(col("indeg")).cast("long").as("sum_indeg"))
+        .orderBy(col("octave"))
+    },
+
+    // --- pk23: shared-prefix cache yield ------------------------------
+    // Prompt/prefix caching economics: docs sharing an IDENTICAL
+    // first-L-token prefix pay the prefix compute once. Per L, the
+    // census: docs long enough, distinct prefixes, saved tokens
+    // Σ(group−1)·L, and the saved share of total corpus tokens.
+    // Prefix groups key on md5 of the space-joined first L tokens —
+    // ONE flat expression per L (a Karp-Rabin fold here would nest
+    // L-deep Column trees; at L=128 that overflows the default JVM
+    // stack during Catalyst analysis), bijective because tokens are
+    // whitespace-split; state is the bounded (L, prefix) census.
+    "pk23_prefix_cache_yield" -> { (s, d) =>
+      val base = Dedup.barrier(Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("ntok"),
+          col("toks")))
+      val tot = base.agg(sum(col("ntok")).cast("long").as("corpus_tokens"))
+      val perL = PrefixLens.map { l =>
+        base.filter(col("ntok") >= l)
+          .select(lit(l.toLong).as("prefix_len"),
+            md5(concat_ws(" ", slice(col("toks"), 1, l))).as("ph"))
+          .groupBy(col("prefix_len"), col("ph"))
+          .agg(count(lit(1)).cast("long").as("grp"))
+          .groupBy(col("prefix_len"))
+          .agg(sum(col("grp")).cast("long").as("n_docs"),
+            count(lit(1)).cast("long").as("n_prefixes"),
+            sum((col("grp") - 1) * col("prefix_len")).cast("long")
+              .as("saved_tokens"))
+      }.reduce(_ unionByName _)
+      // a lens no doc reaches still reports (zeros) — stable schema
+      // across scales
+      import s.implicits._
+      val lens = PrefixLens.map(_.toLong).toDF("prefix_len")
+      lens.join(perL, Seq("prefix_len"), "left")
+        .select(col("prefix_len"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_prefixes"), lit(0L)).as("n_prefixes"),
+          coalesce(col("saved_tokens"), lit(0L)).as("saved_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("saved_share_fx",
+          expr(s"(saved_tokens * $Fx) div corpus_tokens"))
+        .select(col("prefix_len"), col("n_docs"), col("n_prefixes"),
+          col("saved_tokens"), col("saved_share_fx"))
+        .orderBy(col("prefix_len"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    // DIRECT set algebra — no bitmaps — so the hash match proves the
+    // bitmap fold, not a second copy of it
+    "q78_bitmap_audience" ->
+      s"""WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+         |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+         |  FROM u GROUP BY event_type),
+         |p AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM u a JOIN u b ON a.user_id = b.user_id
+         |    AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT type_a, type_b, ta.n_users AS users_a, tb.n_users AS users_b,
+         |  n_common,
+         |  CAST(n_common * $Fx // (ta.n_users + tb.n_users - n_common)
+         |    AS BIGINT) AS jaccard_fx
+         |FROM p JOIN t ta ON ta.event_type = type_a
+         |  JOIN t tb ON tb.event_type = type_b
+         |ORDER BY type_a, type_b""".stripMargin,
+
+    "ss37_hubness" ->
+      s"""WITH en AS (
+         |  SELECT vec_id, emb, ${Similarity.duckNorm} AS norm
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |    FROM embeddings)),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    CAST(floor((list_sum(list_transform(range(len(e.emb)),
+         |      i -> e.emb[i+1] * q.emb[i+1])) / (e.norm * q.norm)) * $Fx)
+         |      AS BIGINT) AS cos_fx
+         |  FROM en e CROSS JOIN en q WHERE e.vec_id <> q.vec_id),
+         |topk AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_fx DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= $HubK),
+         |indeg AS (
+         |  SELECT e.vec_id,
+         |    CAST(COALESCE(k.c, 0) AS BIGINT) AS indeg
+         |  FROM en e LEFT JOIN (
+         |    SELECT vec_id, COUNT(*) AS c FROM topk GROUP BY vec_id) k
+         |    ON k.vec_id = e.vec_id)
+         |SELECT CAST(length(bin(CAST(indeg + 1 AS BIGINT))) - 1 AS BIGINT)
+         |    AS octave,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(MAX(indeg) AS BIGINT) AS max_indeg,
+         |  CAST(SUM(indeg) AS BIGINT) AS sum_indeg
+         |FROM indeg GROUP BY 1 ORDER BY octave""".stripMargin,
+
+    "pk23_prefix_cache_yield" -> {
+      val perL = PrefixLens.map { l =>
+        s"""SELECT CAST($l AS BIGINT) AS prefix_len,
+           |    md5(array_to_string(toks[1:$l], ' ')) AS ph
+           |  FROM base WHERE ntok >= $l""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH base AS (
+         |  SELECT doc_id, len(toks) AS ntok, toks
+         |  FROM (SELECT doc_id, ${Dedup.duckToks} AS toks FROM documents)),
+         |pl AS (
+         |  $perL),
+         |grps AS (
+         |  SELECT prefix_len, ph, CAST(COUNT(*) AS BIGINT) AS grp
+         |  FROM pl GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT prefix_len, CAST(SUM(grp) AS BIGINT) AS n_docs,
+         |    CAST(COUNT(*) AS BIGINT) AS n_prefixes,
+         |    CAST(SUM((grp - 1) * prefix_len) AS BIGINT) AS saved_tokens
+         |  FROM grps GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(ntok) AS BIGINT) AS corpus_tokens FROM base),
+         |lens AS (SELECT CAST(unnest([${PrefixLens.mkString(", ")}]) AS BIGINT)
+         |  AS prefix_len)
+         |SELECT lens.prefix_len,
+         |  COALESCE(n_docs, 0) AS n_docs,
+         |  COALESCE(n_prefixes, 0) AS n_prefixes,
+         |  COALESCE(saved_tokens, 0) AS saved_tokens,
+         |  CAST(COALESCE(saved_tokens, 0) * $Fx // corpus_tokens AS BIGINT)
+         |    AS saved_share_fx
+         |FROM lens LEFT JOIN agg ON agg.prefix_len = lens.prefix_len
+         |CROSS JOIN tot ORDER BY lens.prefix_len""".stripMargin
+    })
+}

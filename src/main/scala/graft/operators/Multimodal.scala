@@ -212,6 +212,68 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Docs → TAR (ustar) shard members, WebDataset-style: 16 docs per
+    * shard keyed (source, doc_id div 16), entry names
+    * `docs/<doc_id>.txt`. Same shape as [[warcMedia]]; bytes built by
+    * the REAL [[graft.sources.TarCodec]].
+    */
+  def tarMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val grouped = docs
+      .select(col("source"), expr("doc_id div 16").as("bucket"),
+        struct(col("doc_id"), col("text")).as("rec"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+    val outSchema = StructType(Seq(
+      StructField("source", StringType), StructField("bucket", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = grouped.rdd.mapPartitions { it =>
+      it.map { r =>
+        val entries = r.getAs[scala.collection.Seq[Row]]("recs").map { rec =>
+          val id = rec.getLong(0)
+          (s"docs/$id.txt",
+            rec.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        Row(r.getAs[String]("source"), r.getAs[Long]("bucket"),
+          graft.sources.TarCodec.encodeArchive(entries.toSeq))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Shard members → one row per parsed TAR entry (the read
+    * direction): entry name, body byte count, and the shard's total
+    * on-disk bytes (header + padding overhead included, counted once
+    * per entry row via shard_bytes/entry accounting columns).
+    * Unparseable shards yield no rows (corrupt posture).
+    */
+  def tarEntries(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("bucket", LongType),
+      StructField("entry_name", StringType),
+      StructField("body_len", LongType),
+      StructField("shard_bytes", LongType),
+      StructField("n_shard_entries", LongType)))
+    val srcIdx = media.schema.fieldIndex("source")
+    val bucketIdx = media.schema.fieldIndex("bucket")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        graft.sources.TarCodec.decode(payload).toSeq.flatMap { entries =>
+          entries.map { e =>
+            Row(r.getString(srcIdx), r.getLong(bucketIdx), e.name,
+              e.body.length.toLong, payload.length.toLong,
+              entries.length.toLong)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Docs → raw-PCM clips (mm17's build direction): deterministic
     * 16-bit samples synthesized from doc_id (the closed form the
     * oracle recomputes without bytes), packed through the REAL

@@ -109,7 +109,15 @@ object PlanDump {
     // assignments, the delta-maintenance union-aggregate, and the
     // double-cumulative Lindley windows
     "dd41_cross_snapshot", "tx37_snapshot_drift", "ss35_nlist_sweep",
-    "q75_delta_view_maintenance", "ev76_backlog_trajectory")
+    "q75_delta_view_maintenance", "ev76_backlog_trajectory",
+    // round-8 closing waves: the bitmap-word audience fold, the
+    // stacked two-stage Lindley windows, the TakeOrdered PMI top-k,
+    // the prefix-cache census, the TAR entry rollup (mapPartitions
+    // codec + two-level shard/source aggregate), the class-sampled
+    // duplication estimator's single-census fan-out
+    "q78_bitmap_audience", "ev78_stage_cascade", "ev79_reorder_depth",
+    "tx40_pmi_collocations", "pk23_prefix_cache_yield",
+    "mm18_tar_roundtrip", "dd43_anchor_sampling", "q79_halflife_decay")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -478,13 +478,43 @@ class PlanAuditSpec extends SparkSpec {
       // dd39 crosses the ≤64-row octave census with its 1-row total
       "dd39_dup_distance_octaves",
       // pk20 crosses docs and slices with the 3-row context-size dial
-      "pk20_window_doc_mixing")
-    SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(singleRowCross.contains).foreach { name =>
-      val s = planString(name)
-      assert(!s.contains("CartesianProduct"), s"$name plans a cartesian:\n$s")
-      assert(!s.contains("BroadcastNestedLoopJoin"), s"$name plans a nested loop:\n$s")
-    }
+      "pk20_window_doc_mixing",
+      // q76 crosses the two |sources|-row KMV sketch aggregates and
+      // their 1-row exact counterparts (dd35's pattern)
+      "q76_kmv_setops",
+      // ev77 broadcasts the 1-row global [t0, t1] bounds aggregate
+      "ev77_little_law",
+      // q77 crosses the 1-row kept-edge and wedge-total aggregates
+      "q77_triangle_doulion",
+      // ss36 broadcasts the bounded query panel (ss19's pattern)
+      "ss36_radius_census",
+      // ss37 broadcasts the whole fixed-size embeddings table as the
+      // query side — the documented quadratic eval arm (ss35/dd13)
+      "ss37_hubness",
+      // pk23 broadcasts the 1-row corpus-token total for shares
+      "pk23_prefix_cache_yield",
+      // ev78 builds ev24's hour grid (1-row bounds × distinct types)
+      // plus the 1-row n_hours broadcast (ev76's pattern)
+      "ev78_stage_cascade",
+      // pk24 broadcasts the 1-row token-budget aggregate
+      "pk24_budget_waterfill",
+      // q79 broadcasts the 1-row max-day (tip) aggregate (q33)
+      "q79_halflife_decay",
+      // tx40 broadcasts the 1-row bigram-total aggregate
+      "tx40_pmi_collocations",
+      // dd43 broadcasts the 1-row exact-share aggregate every
+      // sampling arm compares against
+      "dd43_anchor_sampling")
+    // collect every offender before failing — a single assert-per-name
+    // loop would hide all offenders after the first
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(singleRowCross.contains).flatMap { name =>
+        val s = planString(name)
+        if (s.contains("CartesianProduct")) Some(s"$name: cartesian")
+        else if (s.contains("BroadcastNestedLoopJoin")) Some(s"$name: nested loop")
+        else None
+      }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
   test("ev72 lake decode is join-free; the explode chain stays map-side") {

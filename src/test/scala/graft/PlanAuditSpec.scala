@@ -504,7 +504,10 @@ class PlanAuditSpec extends SparkSpec {
       "tx40_pmi_collocations",
       // dd43 broadcasts the 1-row exact-share aggregate every
       // sampling arm compares against
-      "dd43_anchor_sampling")
+      "dd43_anchor_sampling",
+      // ss38 broadcasts the K-row centroid table against the bounded
+      // query panel (ss09's fitted-model pattern) + the 1-row totals
+      "ss38_routing_skew")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted

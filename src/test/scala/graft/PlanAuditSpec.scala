@@ -507,7 +507,9 @@ class PlanAuditSpec extends SparkSpec {
       "dd43_anchor_sampling",
       // ss38 broadcasts the K-row centroid table against the bounded
       // query panel (ss09's fitted-model pattern) + the 1-row totals
-      "ss38_routing_skew")
+      "ss38_routing_skew",
+      // ev81 broadcasts the 1-row global minute-bounds aggregate
+      "ev81_fano_overdispersion")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted

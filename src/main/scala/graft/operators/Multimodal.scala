@@ -296,6 +296,52 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Docs → WAV clips: mm17's deterministic synthesized samples, but
+    * through the REAL RIFF/WAVE container ([[graft.sources.WavCodec]],
+    * canonical 44-byte PCM16 mono header) instead of raw PCM bytes.
+    */
+  def wavMedia(base: DataFrame, sampleRate: Int): DataFrame = {
+    val spark = base.sparkSession
+    val outSchema = StructType(base.schema.fields :+
+      StructField("payload", BinaryType))
+    val idIdx = base.schema.fieldIndex("doc_id")
+    val rdd = base.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (400 + (id % 7) * 64).toInt
+        val samples = Array.tabulate(n)(k =>
+          (((id * 7 + k.toLong * 13) % 4096) - 2048).toShort)
+        Row.fromSeq(r.toSeq :+ graft.sources.WavCodec.encode(sampleRate, samples))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** WAV payloads → one row per parsed clip: declared sample rate,
+    * sample count, container byte size. Undecodable payloads yield no
+    * row (corrupt posture).
+    */
+  def wavClips(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val keep = media.schema.fields.filterNot(_.name == "payload")
+    val outSchema = StructType(keep ++ Seq(
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("container_bytes", LongType)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => media.schema.fieldIndex(f.name))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        graft.sources.WavCodec.decode(payload).map { case (rate, samples) =>
+          Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq(
+            rate.toLong, samples.length.toLong, payload.length.toLong))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** REAL PCM decode + frame segmentation (win samples per frame, hop
     * stride): per clip, frame count, frames whose mean |amplitude|
     * clears `gate`, and the loudest frame's mean. Partition-batched

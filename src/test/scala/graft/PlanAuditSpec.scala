@@ -509,7 +509,10 @@ class PlanAuditSpec extends SparkSpec {
       // query panel (ss09's fitted-model pattern) + the 1-row totals
       "ss38_routing_skew",
       // ev81 broadcasts the 1-row global minute-bounds aggregate
-      "ev81_fano_overdispersion")
+      "ev81_fano_overdispersion",
+      // dd44 broadcasts the 1-row corpus-doc-count aggregate that
+      // turns document frequency into IDF octaves
+      "dd44_weighted_jaccard")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted

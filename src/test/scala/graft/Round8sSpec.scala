@@ -63,6 +63,41 @@ class Round8sSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_pairs")).sum > 0)
   }
 
+  test("dd44 weighting demotes boilerplate-only overlap on an adversarial corpus") {
+    // two docs share ONLY a boilerplate run present in EVERY doc
+    // (df = N -> weight 1); their own content is unique (df = 1 ->
+    // weight floor(log2 N) + 1). Unweighted J clears the 0.5 near-dup
+    // bar; weighted J collapses.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val boiler = "hdr one two three four five six seven eight nine"
+    val n = 64
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"$boiler u$i v$i")
+    }.toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.docShinglesOf(docs)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val w = df.select(col("h"),
+      ((length(bin(lit(n.toLong))) - 1) - (length(bin(col("df"))) - 1) + 1)
+        .cast("long").as("w"))
+    val wsh = sh.join(w, Seq("h")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("h"), r.getAs[Long]("w")))
+    val a = wsh.filter(_._1 == 0L); val b = wsh.filter(_._1 == 1L)
+    val aSet = a.map(_._2).toSet; val bSet = b.map(_._2).toSet
+    val shared = aSet & bSet
+    val jUnweighted = shared.size * 10000L / (aSet.size + bSet.size - shared.size)
+    val wOf = wsh.map(t => t._2 -> t._3).toMap
+    val iw = shared.toSeq.map(wOf).sum
+    val uw = (aSet ++ bSet).toSeq.map(wOf).sum
+    val jWeighted = iw * 10000L / uw
+    assert(jUnweighted >= 5000L, s"fixture must clear the near-dup bar: $jUnweighted")
+    assert(jWeighted < jUnweighted / 2,
+      s"weighting must demote boilerplate overlap: $jWeighted vs $jUnweighted")
+    // boilerplate shingles (in all docs) really weigh 1
+    shared.foreach(s => assert(wOf(s) === 1L))
+  }
+
   test("dd44 weighted Jaccard matches a driver recount on one pair") {
     import org.apache.spark.sql.functions._
     // rebuild the heaviest exact-dup pair's weighted J by hand

@@ -512,7 +512,11 @@ class PlanAuditSpec extends SparkSpec {
       "ev81_fano_overdispersion",
       // dd44 broadcasts the 1-row corpus-doc-count aggregate that
       // turns document frequency into IDF octaves
-      "dd44_weighted_jaccard")
+      "dd44_weighted_jaccard",
+      // q80 probes 4 predicate ranges against the 16-row histogram
+      // (non-equi by nature — q50's zone-map pattern) and unions
+      // selects off one cached 1-row actuals aggregate
+      "q80_histogram_selectivity")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted

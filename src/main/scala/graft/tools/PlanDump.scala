@@ -117,7 +117,15 @@ object PlanDump {
     // duplication estimator's single-census fan-out
     "q78_bitmap_audience", "ev78_stage_cascade", "ev79_reorder_depth",
     "tx40_pmi_collocations", "pk23_prefix_cache_yield",
-    "mm18_tar_roundtrip", "dd43_anchor_sampling", "q79_halflife_decay")
+    "mm18_tar_roundtrip", "dd43_anchor_sampling", "q79_halflife_decay",
+    // final round-8 waves: the histogram build + non-equi probe join,
+    // the weighted-Jaccard banded shortlist with its slim explodes,
+    // the per-source cumsum packer, the gridless Fano fold, the
+    // routed-panel skew census, the commit-window nesting rollups
+    "q80_histogram_selectivity", "dd44_weighted_jaccard",
+    "pk25_shard_packer", "ev81_fano_overdispersion",
+    "ss38_routing_skew", "ev80_replay_cost", "tx41_entropy_rate",
+    "mm19_wav_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -51,9 +51,15 @@ object Round8s {
 
     // --- dd44: IDF-weighted Jaccard over banded candidates ----------------
     "dd44_weighted_jaccard" -> { (s, d) =>
-      val sh = Dedup.barrier(Dedup.docShingles(s, d)
-        .select(col("doc_id"), explode(col("shs")).as("h")))
-      val nd = sh.agg(countDistinct(col("doc_id")).cast("long").as("n_docs"))
+      // materialize the shingle ARRAYS, then explode from the cache:
+      // exploding the computed md5-shingle pipeline directly would
+      // re-evaluate it per consumer (the dd20 InferFiltersFromGenerate
+      // trap — measured ~10 s at sf0.1 in either uncached shape)
+      val shArr = Dedup.barrier(Dedup.docShingles(s, d))
+      val sh = shArr.select(col("doc_id"), explode(col("shs")).as("h"))
+      // docShingles keeps only docs with ≥3 tokens, so every row has
+      // a nonempty set: row count = distinct doc count
+      val nd = shArr.agg(count(lit(1)).cast("long").as("n_docs"))
       // integer IDF octave: rare shingles weigh ⌊log2 N⌋−⌊log2 df⌋+1,
       // corpus-wide boilerplate weighs 1
       val wts = sh.groupBy(col("h")).agg(count(lit(1)).cast("long").as("df"))

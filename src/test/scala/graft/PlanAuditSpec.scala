@@ -516,7 +516,11 @@ class PlanAuditSpec extends SparkSpec {
       // q80 probes 4 predicate ranges against the 16-row histogram
       // (non-equi by nature — q50's zone-map pattern) and unions
       // selects off one cached 1-row actuals aggregate
-      "q80_histogram_selectivity")
+      "q80_histogram_selectivity",
+      // ss39 broadcasts the per-segment centroid tables and the bounded
+      // query panel (ss38's pattern; the truth arm is the documented
+      // quadratic eval, ss37's precedent)
+      "ss39_segment_merge_recall")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -131,10 +131,12 @@ object Bench {
     // as the only suspects) cannot produce a trustworthy reading —
     // the load stamps were recorded but nothing flagged the run.
     // load0 is measured BEFORE this JVM does any work, so > 2.0 means
-    // something else is burning cores; other java/sbt processes are
-    // counted directly (exactly ONE is expected — the sbt parent that
-    // forked this main; r6/r7 driver runs both stamp jvms [1,1]).
-    val contended = load0 > 2.0 || jvms0 > 1
+    // something else is burning cores. The JVM count is informational
+    // only (emitted in the jvms field): keying contended on it assumed
+    // the exactly-one-sbt-parent launch topology, which mislabels an
+    // sbt-server run (two benign JVMs) as contended and a loaded bare
+    // spark-submit run (zero other JVMs, load < 2) as quiet (ADVICE r8).
+    val contended = load0 > 2.0
     if (contended)
       println(s"""{"warning":"bench started contended (load=$load0, other jvms=$jvms0): timings are upper bounds, re-run on a quiet box before comparing"}""")
     def laneJson(ms: Seq[(String, Double)]): String = {

@@ -213,11 +213,13 @@ object Dedup {
         min_by(col("simhash"), col("doc_id")).as("hub_sh"))
 
   /** The kept-bucket filter side: (band, bval) with occupancy ≤
-    * [[SimhashBucketCap]] (slim — ids never ride this aggregate).
+    * [[SimhashBucketCap]], derived from [[simhashBucketStats]] output
+    * so the cap predicate has exactly ONE definition (ADVICE r8:
+    * a test-only twin of the production filter could silently
+    * diverge). Callers pass the stats frame, not the banded frame.
     */
-  private[graft] def simhashKept(banded: DataFrame): DataFrame =
-    banded.groupBy(col("band"), col("bval")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= SimhashBucketCap)
+  private[graft] def simhashKept(stats: DataFrame): DataFrame =
+    stats.filter(col("occ") <= SimhashBucketCap)
       .select(col("band"), col("bval"))
 
   /** Capped simhash candidate pairs — distinct
@@ -228,8 +230,7 @@ object Dedup {
     */
   private[graft] def simhashCandidatePairs(banded: DataFrame): DataFrame = {
     val stats = simhashBucketStats(banded)
-    val kept = stats.filter(col("occ") <= SimhashBucketCap)
-      .select(col("band"), col("bval"))
+    val kept = simhashKept(stats)
     val l = banded.select(col("band"), col("bval"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bval"),

@@ -116,6 +116,13 @@ object TarCodec {
       while (allZero && j < i + BlockSize) { allZero = bytes(j) == 0; j += 1 }
       if (allZero) return Some(out.result()) // first zero block ends it
       if (cString(bytes, i + 257, 6) != "ustar") return None
+      // Only plain regular files ('0' or pre-POSIX NUL) are in-contract:
+      // PAX extended headers ('x'/'g'), GNU longnames ('L'), links and
+      // directories would otherwise surface as regular entries whose
+      // body is metadata. Reject-malformed posture, same as the other
+      // codecs (ADVICE r8).
+      val typeflag = bytes(i + 156)
+      if (typeflag != '0'.toByte && typeflag != 0.toByte) return None
       val size = parseOctal(bytes, i + 124, 12) match {
         case Some(v) => v
         case None => return None

@@ -27,7 +27,7 @@ class Round8Spec extends SparkSpec {
     val occ = banded.groupBy(col("band"), col("bval")).count()
     val hot = occ.filter(col("count") > Dedup.SimhashBucketCap).count()
     assert(hot >= 1L, "fixture must actually create a hot band bucket")
-    val kept = Dedup.simhashKept(banded)
+    val kept = Dedup.simhashKept(Dedup.simhashBucketStats(banded))
     val keptMax = occ.join(kept, Seq("band", "bval"))
       .agg(max(col("count"))).head.getLong(0)
     assert(keptMax <= Dedup.SimhashBucketCap)

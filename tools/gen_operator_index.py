@@ -10,6 +10,11 @@ import os, re, collections
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.path.join(ROOT, "src", "main", "scala")
 PAT = re.compile(r'"((?:q|ev|tx|pk|dd|ss|mm)\d+_[a-z0-9_]+)"\s*->\s*[{(]')
+# Strong anchor = the queries-map lambda STRUCTURE `-> { (a, b) =>`
+# (any parameter spelling), not the literal "(s, d) =>" — a map entry
+# with different parameter names silently downgraded to a weak match
+# and could index the oracle SQL line instead (ADVICE r8).
+LAMBDA = re.compile(r'->\s*\{?\s*\(\s*\w+\s*,\s*\w+\s*\)\s*=>')
 
 FAMILIES = [
     ("ev", "Event pipeline"), ("q", "Core analytics"),
@@ -49,7 +54,7 @@ for dirpath, _, files in os.walk(SRC):
                 # SQL line as the operator's location. A weak (non-
                 # lambda) match only fills in when no strong match ever
                 # appears for the name.
-                strong = "(s, d) =>" in line or "(s, d)=>" in line
+                strong = LAMBDA.search(line) is not None
                 name = m.group(1)
                 if strong and not found.get(name, (False, ""))[0]:
                     found[name] = (True, f"{rel}:{i}")

@@ -66,11 +66,18 @@ object Round4 {
         .withColumn("is_eval",
           Hashing.hash64(col("doc_id").cast("string")) % 20 === 0)
         .select(col("doc_id"), col("source"), col("is_eval"), col("toks")))
+      // explode_OUTER: a plain explode of this inline-computed gram
+      // array lets InferFiltersFromGenerate re-evaluate the whole
+      // 13-gram hash pipeline per row in a pushed filter (the
+      // dd20/dd33/dd44 trap — PlanAuditSpec's generate lint). Outer
+      // generates infer no filters; ≥W-token docs always emit ≥1 gram,
+      // so the isNotNull on the OUTPUT is semantically free.
       val grams = docs.filter(size(col("toks")) >= W)
         .select(col("doc_id"), col("is_eval"),
-          explode(transform(sequence(lit(0), size(col("toks")) - W),
+          explode_outer(transform(sequence(lit(0), size(col("toks")) - W),
             i => Hashing.hash64(concat_ws(" ", slice(col("toks"), i + 1, lit(W))))))
             .as("g"))
+        .filter(col("g").isNotNull)
       val evalGrams = grams.filter(col("is_eval"))
         .select(col("g")).distinct().withColumn("hit", lit(1))
       val hitDocs = grams.filter(!col("is_eval"))

@@ -69,7 +69,9 @@ object Round6ab {
     // this is the page that justifies a ≥2-band admission rule.
     "dd32_band_precision" -> { (s, d) =>
       val shingled = Dedup.barrier(Dedup.docShingles(s, d))
-      val banded = Dedup.bandedSignatures(s, d)
+      // materialized like dd03's: the l/r self-join would otherwise
+      // evaluate the signature pipeline twice (generate-trap lint)
+      val banded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
       val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
       val pairs = l.join(r, Seq("band", "band_hash"))

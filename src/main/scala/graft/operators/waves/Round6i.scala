@@ -34,10 +34,15 @@ object Round6i {
           pmod(Hashing.hash64(col("doc_id").cast("string")), lit(10)) === 0)
       val sig = ds.select(col("doc_id"), col("is_new"),
         Dedup.minhashSig(col("shs")).as("_sig"))
-      val banded = sig.select(col("doc_id"), col("is_new"),
+      // materialized: nb and ob both consume this frame — unbarriered,
+      // the signature pipeline would evaluate twice (the dd20/dd33/dd44
+      // generate-trap lint flags exactly this shape). At 100 TB this IS
+      // the "banded index is a materialized table" posture above.
+      val banded = Dedup.barrierAlso(
+        sig.select(col("doc_id"), col("is_new"),
           posexplode(array(Dedup.bandHashCols(col("_sig")): _*)))
         .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "band_hash")
+        .withColumnRenamed("col", "band_hash"))
       val nb = banded.filter(col("is_new"))
         .select(col("doc_id").as("new_id"), col("band"), col("band_hash"))
       val ob = banded.filter(!col("is_new"))

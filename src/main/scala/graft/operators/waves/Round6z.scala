@@ -94,8 +94,14 @@ object Round6z {
         .groupBy(decile("doc_id").as("decile"))
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum(col("n_occ")).cast("long").as("n_occurrences"))
+      // explode_OUTER + output notnull: plain explode of the computed
+      // shingle array would re-evaluate the md5 pipeline per row in an
+      // inferred pushed filter (generate-trap lint); ≥3-token docs
+      // always shingle non-empty, so semantics are unchanged
       val novel = docs
-        .select(col("doc_id"), explode(Dedup.shingleHashes(col("toks"))).as("gh"))
+        .select(col("doc_id"),
+          explode_outer(Dedup.shingleHashes(col("toks"))).as("gh"))
+        .filter(col("gh").isNotNull)
         .groupBy(col("gh"))
         .agg(min(col("doc_id")).as("first_doc"))
         .crossJoin(broadcast(bounds))

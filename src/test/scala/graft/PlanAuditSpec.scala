@@ -568,6 +568,98 @@ class PlanAuditSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(s).size >= 2, s)
   }
 
+  /** Detector for the explode-of-computed-array trap (VERDICT r8 #2).
+    *
+    * Exploding a COMPUTED array (the md5-shingle / minhash-signature
+    * pipeline) lets InferFiltersFromGenerate push size/notnull
+    * predicates on the FULL array expression below the generate; the
+    * pipeline then re-evaluates per consumer or per row. Measured
+    * three times before becoming this lint: dd20 (8.5→0.7 s),
+    * dd33 (r7's 3.65→16.43 s regression), dd44 (10.4→3.8 s). The fix
+    * is always the same shape: barrier() the (id, array) frame and
+    * explode FROM the cache — so the lint asserts that below any
+    * Generate, down to the nearest InMemoryRelation (the barrier), no
+    * node computes a hash-array pipeline (md5/sha/crc inside a lambda
+    * body, or the native minhash signature expression). A SCALAR hash
+    * below a Generate is fine (evaluated once per row); only
+    * array-building hash lambdas hit the re-evaluation class.
+    */
+  private def generateTrapOffenders(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Crc32, Expression, LambdaFunction, Md5, Sha1, Sha2}
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    def hashy(e: Expression): Boolean = e.exists {
+      case _: Md5 | _: Sha1 | _: Sha2 | _: Crc32 => true
+      // the Hash64Rule rewrite means the shingle pipeline carries the
+      // NATIVE hash expression by the time the optimizer runs — the
+      // raw Md5 form never survives to the optimized plan
+      case _: graft.functions.Hash64Expr => true
+      case _: graft.functions.MinhashSigExpr => true
+      case _ => false
+    }
+    def hashArrayPipeline(e: Expression): Boolean = e.exists {
+      case lf: LambdaFunction => hashy(lf)
+      case _: graft.functions.MinhashSigExpr => true
+      case _ => false
+    }
+    val out = Seq.newBuilder[String]
+    def below(p: LogicalPlan, g: String): Unit = p match {
+      case _: InMemoryRelation => // barriered — safe by construction
+      case n =>
+        if (n.expressions.exists(hashArrayPipeline))
+          out += s"$g sits above an unbarriered hash-array pipeline at ${n.nodeName}"
+        n.children.foreach(below(_, g))
+    }
+    plan.foreach {
+      case gen: Generate =>
+        val g = s"Generate(${gen.generator.prettyName})"
+        // an OUTER generate infers no filters, so an inline pipeline
+        // there evaluates exactly once per row — the documented safe
+        // alternative to barriering (explode_outer + notnull on the
+        // generator OUTPUT; dd31 is the reference shape)
+        if (!gen.outer && hashArrayPipeline(gen.generator))
+          out += s"$g computes the hash-array pipeline inline"
+        below(gen.child, g)
+      case _ => ()
+    }
+    out.result()
+  }
+
+  test("no Generate sits above an unbarriered hash-array pipeline (dd20/dd33/dd44 trap)") {
+    val singleConsumerBanded = Set(
+      // dd41's two banded probe sides are each consumed ONCE and read
+      // from the barriered shingle caches; posexplode's inferred
+      // filters constant-fold on the fixed 16-slot band array, so
+      // there is no re-evaluation to trap — materializing them would
+      // be pure persist overhead for a single pass
+      "dd41_cross_snapshot")
+    // collect every offender before failing, like the cartesian sweep
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(singleConsumerBanded.contains).flatMap { name =>
+      generateTrapOffenders(
+        SparkEntry.queries(name)(spark, sf).queryExecution.optimizedPlan)
+        .map(o => s"$name: $o")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("the generate-trap lint fires on a deliberately de-barriered shingle explode") {
+    // positive control (VERDICT r8: "fails on a deliberately
+    // de-barriered dd44"): the exact dd44 head — explode of the
+    // docShingles pipeline WITHOUT its barrier — must be flagged,
+    // and the production dd44 head (barriered) must not be.
+    import org.apache.spark.sql.functions.{col, explode}
+    // a prior test's still-live barrier cache would substitute the
+    // docShingles fragment with its InMemoryRelation and mask the trap
+    spark.catalog.clearCache()
+    val unbarriered = graft.operators.Dedup.docShingles(spark, sf)
+      .select(col("doc_id"), explode(col("shs")).as("h"))
+    val flagged = generateTrapOffenders(unbarriered.queryExecution.optimizedPlan)
+    assert(flagged.nonEmpty,
+      s"lint must flag the de-barriered dd44 head:\n${unbarriered.queryExecution.optimizedPlan.treeString}")
+  }
+
   test("closing-wave operators prune every fact scan below full table width") {
     // column pruning is the first thing a refactor silently loses;
     // embeddings (3 cols) is exempt — reading all of a 3-column

@@ -8,12 +8,16 @@ import graft.core.Tables
 /** Multimodal-column plumbing: opaque `binary` payloads + typed
   * metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * deterministic fake ([[fakeDecode]]); everything around it — the
-  * binary schema, the batched `mapPartitions` transform, partitioning
-  * — is real. On a cluster the fake is swapped for a real codec; the
-  * per-partition batching keeps codec init cost amortized and the
-  * payloads never pass through the driver.
+  * Real in-JVM codecs cover PGM (mm15), PCM/WAV (mm17/mm19),
+  * TAR/WARC (mm18/mm16) and — since round 9 — a genuinely COMPRESSED
+  * image format, grayscale PNG via the JDK's ImageIO
+  * ([[pngMedia]]/[[pngFeatures]], mm21), so the codec swap-in is
+  * executed, not promised. [[fakeDecode]] remains only as the
+  * documented test double for formats whose codecs the sandbox
+  * lacks (JPEG & co.); everything around any decode — the binary
+  * schema, the batched `mapPartitions` transform, partitioning — is
+  * the same real plumbing, with codec init amortized per partition
+  * and payloads never passing through the driver.
   */
 object Multimodal {
 
@@ -142,6 +146,66 @@ object Multimodal {
           Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq[Any](
             img.width.toLong, img.height.toLong, img.pixels.length.toLong,
             s, mn, mx))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** mm15's closed-form raster, through a real COMPRESSED container:
+    * each doc becomes an 8-bit grayscale PNG (zlib/DEFLATE via the
+    * JDK's ImageIO — [[graft.sources.PngCodec]]). Same raster closed
+    * form as [[pgmMedia]] so the decode census shares mm15's
+    * byte-free oracle; the difference is that these payloads really
+    * are compressed, variable-length container bytes — the codec
+    * swap-in the object scaladoc promises, executed in-sandbox.
+    */
+  def pngMedia(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val outSchema = StructType(base.schema.fields ++ Seq(
+      StructField("payload", BinaryType)))
+    val idIdx = base.schema.fieldIndex("doc_id")
+    val rdd = base.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val px = Array.tabulate(w * h)(k => ((id * 31 + k * 17) % 256).toByte)
+        Row.fromSeq(r.toSeq :+ graft.sources.PngCodec.encode(w, h, px))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** REAL compressed decode via [[graft.sources.PngCodec]] —
+    * partition-batched like [[pgmFeatures]]; undecodable payloads
+    * yield no feature row. `png_bytes` carries the container size
+    * (compression-dependent, so it feeds specs, not the oracle).
+    */
+  def pngFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val keep = media.schema.fields.filterNot(_.name == "payload")
+    val outSchema = StructType(keep ++ Seq(
+      StructField("w", LongType), StructField("h", LongType),
+      StructField("n_px", LongType), StructField("sum_px", LongType),
+      StructField("min_px", LongType), StructField("max_px", LongType),
+      StructField("png_bytes", LongType)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => media.schema.fieldIndex(f.name))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        graft.sources.PngCodec.decode(bytes).map { img =>
+          var s = 0L; var mn = 255L; var mx = 0L
+          var k = 0
+          while (k < img.pixels.length) {
+            val v = img.pixel(k).toLong
+            s += v; if (v < mn) mn = v; if (v > mx) mx = v
+            k += 1
+          }
+          Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq[Any](
+            img.width.toLong, img.height.toLong, img.pixels.length.toLong,
+            s, mn, mx, bytes.length.toLong))
         }
       }
     }

@@ -67,6 +67,8 @@ object Round8u {
       b.length >= off + s.length &&
         s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
     if (b == null || b.length < 2) "unknown"
+    else if (b.length >= 8 && graft.sources.PngCodec.Magic.indices
+      .forall(i => b(i) == graft.sources.PngCodec.Magic(i))) "png"
     else if (at(0, "P5")) "pgm"
     else if (at(0, "WARC/1.0")) "warc"
     else if (at(0, "RIFF") && at(8, "WAVE")) "wav"

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Round-9 first wave: real compressed-image decode (mm21).
+  *
+  * mm15 (PGM) proved a real binary image decode, but uncompressed —
+  * "swap in a codec on a cluster" stayed a promise for compressed
+  * formats (VERDICT r8, What's missing #3). mm21 executes it: the
+  * SAME closed-form raster travels through an actual PNG container
+  * (zlib/DEFLATE via the JDK's ImageIO — no new dependency), gets
+  * decoded back by [[graft.sources.PngCodec]], and the per-source
+  * pixel census is gated against the byte-free closed form. PNG is
+  * lossless, so any drift in the encode, the container framing, the
+  * inflate, or the raster extraction hash-fails the oracle. The
+  * magic-byte sniffer (mm20's classifier) learned the PNG signature
+  * in the same change.
+  *
+  * Reference tie: token.rs's media metadata fields are the
+  * reference's only multimodal surface; the compressed container is
+  * the brief's 100 TB training-data requirement.
+  */
+object Round9 {
+
+  private val Fx = 1000000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- mm21: REAL compressed-image decode (grayscale PNG) ---------------
+    "mm21_png_decode" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val feats = Multimodal.pngFeatures(Multimodal.pngMedia(base))
+      feats.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_images"),
+          sum(col("n_px")).cast("long").as("total_pixels"),
+          sum(col("sum_px")).cast("long").as("sum_px"),
+          min(col("min_px")).cast("long").as("min_px"),
+          max(col("max_px")).cast("long").as("max_px"))
+        .withColumn("mean_px_fx", expr(s"(sum_px * $Fx) div total_pixels"))
+        .select(col("source"), col("n_images"), col("total_pixels"),
+          col("sum_px"), col("min_px"), col("max_px"), col("mean_px_fx"))
+        .orderBy(col("source"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    // mm15's byte-free closed form: the raster is identical by
+    // construction, and PNG is lossless — equality here proves the
+    // whole compressed round trip
+    "mm21_png_decode" ->
+      s"""WITH imgs AS (
+         |  SELECT source,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+         |    list_transform(range(CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+         |      AS BIGINT)), k -> (doc_id * 31 + k * 17) % 256) AS px
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+         |  CAST(SUM(list_sum(px)) AS BIGINT) AS sum_px,
+         |  CAST(MIN(list_min(px)) AS BIGINT) AS min_px,
+         |  CAST(MAX(list_max(px)) AS BIGINT) AS max_px,
+         |  (CAST(SUM(list_sum(px)) AS BIGINT) * $Fx)
+         |    // CAST(SUM(w * h) AS BIGINT) AS mean_px_fx
+         |FROM imgs GROUP BY source ORDER BY source""".stripMargin)
+}

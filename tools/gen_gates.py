@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""Regenerate docs/GATES.md — the gate ledger, emitted from artifacts.
+
+The ledger drifted three separate times in round 8 when totals were
+hand-copied from terminal scrollback (VERDICT r8 #3/#6). This tool
+derives every number from the artifacts themselves:
+
+  - CORRECTNESS_r*.json  (driver DuckDB-oracle rounds)
+  - BENCH_r*.json        (driver bench rounds; last JSON digest in tail)
+  - target/test-reports/TEST-*.xml  (scalatest lap, source-backed only)
+  - docs/gates_log.jsonl (in-round gate events, appended as they run)
+
+Append an in-round gate with:
+  python3 tools/gen_gates.py --log '{"gate": "...", "scope": "...", "result": "..."}'
+(a "when" stamp is added automatically), then the ledger is rewritten.
+Run with no args to just rewrite from current artifacts.
+"""
+import datetime
+import glob
+import json
+import os
+import re
+import sys
+import xml.etree.ElementTree as ET
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(ROOT, "docs", "gates_log.jsonl")
+OUT = os.path.join(ROOT, "docs", "GATES.md")
+
+
+def correctness_rows():
+    rows = []
+    for p in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = re.search(r"_r(\d+)", p).group(1)
+        d = json.load(open(p))
+        n = len(d)
+        full = sum(1 for v in d.values()
+                   if v.get("rows_match") and v.get("schema_match")
+                   and v.get("hash_match"))
+        # q13's designed rows-only check surfaces as err == "no_oracle"
+        # with a positive spark row count — it is not a failure
+        rows_only = sum(1 for v in d.values()
+                        if (v.get("rows_match") and not v.get("hash_match")
+                            and not v.get("err"))
+                        or (v.get("err") == "no_oracle"
+                            and (v.get("spark_rows") or 0) > 0))
+        err = sum(1 for v in d.values()
+                  if v.get("err") and v.get("err") != "no_oracle")
+        rows.append((int(rnd), n, full, rows_only, err))
+    return rows
+
+
+def bench_rows():
+    rows = []
+    for p in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)", p).group(1))
+        d = json.load(open(p))
+        dig = d.get("parsed")
+        if not dig:
+            tail = d.get("tail", "")
+            i = tail.rfind('{"metric"')
+            if i >= 0:
+                try:
+                    dig, _ = json.JSONDecoder().raw_decode(tail[i:].strip())
+                except ValueError:
+                    dig = None
+        rows.append((rnd, d.get("sf"), d.get("cpus"), dig))
+    return rows
+
+
+def test_lap():
+    """Aggregate scalatest XMLs, counting ONLY suites whose source file
+    still exists (stale XMLs from deleted debug suites inflated naive
+    counts twice in round 8)."""
+    src = os.path.join(ROOT, "src", "test", "scala")
+    suites = tests = fails = errs = canceled = 0
+    skipped = []
+    mtimes = []
+    for p in sorted(glob.glob(os.path.join(ROOT, "target", "test-reports",
+                                           "TEST-*.xml"))):
+        cls = os.path.basename(p)[len("TEST-"):-len(".xml")]
+        fname = cls.split(".")[-1] + ".scala"
+        if not glob.glob(os.path.join(src, "**", fname), recursive=True):
+            skipped.append(cls)
+            continue
+        r = ET.parse(p).getroot()
+        suites += 1
+        tests += int(r.get("tests", 0))
+        fails += int(r.get("failures", 0))
+        errs += int(r.get("errors", 0))
+        # scalatest reports canceled tests as <skipped/> children
+        canceled += sum(1 for tc in r.iter("testcase")
+                        if tc.find("skipped") is not None)
+        mtimes.append(os.path.getmtime(p))
+    span = None
+    if mtimes:
+        span = (datetime.datetime.fromtimestamp(min(mtimes)),
+                datetime.datetime.fromtimestamp(max(mtimes)))
+    return suites, tests, fails, errs, canceled, skipped, span
+
+
+def log_rows():
+    rows = []
+    if os.path.exists(LOG):
+        for line in open(LOG):
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+NOTES = """
+## Notes
+
+- Hand-recorded gate history from rounds 6-8 (before this ledger was
+  generated) is preserved verbatim in docs/GATES_HISTORY.md.
+
+- **Everything above the history section is emitted from artifacts**
+  (CORRECTNESS_r*.json, BENCH_r*.json, target/test-reports,
+  docs/gates_log.jsonl) by tools/gen_gates.py. Do not hand-edit;
+  append in-round gates with `gen_gates.py --log`.
+- **Engine-parity correction (round 6):** measured on this container's
+  DuckDB 1.0.0: integer `//` TRUNCATES toward zero (`-5 // 2 = -2`),
+  exactly like Spark `div` — the repo's earlier "DuckDB // floors"
+  premise was wrong, and the one-sided pmod floor guards built on it
+  were the actual latent negative-sign divergence. Fixed round 6:
+  plain `div` wherever a plain `//` oracle is used; q44's day/hour
+  keys keep their symmetric both-sides floor guard.
+- The test-lap section counts ONLY suites whose source file still
+  exists, so deleted debug suites can never inflate the totals again;
+  a wide mtime span means the XMLs are from MIXED runs (focused
+  testOnly laps overwrite per-suite files) — treat the aggregate as
+  indicative until a full `sbt test` refreshes every file.
+"""
+
+
+def render():
+    now = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    out = ["# Gate ledger (generated — tools/gen_gates.py)",
+           "",
+           f"Regenerated {now}. Counts are derived from artifacts; see Notes.",
+           "",
+           "## Driver rounds: correctness (DuckDB oracle at sf0.01)",
+           "",
+           "| round | oracles | full match | rows-only | errors |",
+           "| --- | --- | --- | --- | --- |"]
+    for rnd, n, full, ro, err in correctness_rows():
+        out.append(f"| r{rnd} | {n} | {full} | {ro} | {err} |")
+    out += ["",
+            "## Driver rounds: bench (graft.Bench, local[32])",
+            "",
+            "| round | sf | total s | queries | s/query | batch | stream | contended | load |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |"]
+    for rnd, sf, cpus, dig in bench_rows():
+        if not dig:
+            out.append(f"| r{rnd} | {sf} | (digest not captured) | | | | | | |")
+            continue
+        n = dig.get("n") or len(dig.get("queries", {}))
+        total = dig.get("value")
+        spq = f"{total / n:.2f}" if total and n else ""
+        b = dig.get("batch") or {}
+        st = dig.get("stream") or {}
+
+        def lane(x):
+            return f"{x.get('sec', '')} / {x.get('n', '')}" if x else ""
+        out.append(
+            f"| r{rnd} | {sf} | {total} | {n} | {spq} | {lane(b)} | {lane(st)} "
+            f"| {dig.get('contended', '')} | {dig.get('load', '')} |")
+    suites, tests, fails, errs, canceled, skipped, span = test_lap()
+    out += ["",
+            "## Test lap (target/test-reports, source-backed suites only)",
+            "",
+            f"- suites: {suites}, tests: {tests}, failures: {fails}, "
+            f"errors: {errs}, canceled: {canceled}"]
+    if span:
+        out.append(f"- XML mtime span: {span[0]:%Y-%m-%d %H:%M} → "
+                   f"{span[1]:%Y-%m-%d %H:%M}"
+                   + (" (MIXED runs — refresh with a full `sbt test`)"
+                      if (span[1] - span[0]).total_seconds() > 3600 else ""))
+    if skipped:
+        out.append(f"- stale XMLs ignored (no source file): "
+                   f"{', '.join(skipped)}")
+    logs = log_rows()
+    if logs:
+        out += ["",
+                "## In-round gates (docs/gates_log.jsonl)",
+                "",
+                "| when | gate | scope | result |",
+                "| --- | --- | --- | --- |"]
+        for e in logs:
+            out.append(f"| {e.get('when', '')} | {e.get('gate', '')} "
+                       f"| {e.get('scope', '')} | {e.get('result', '')} |")
+    out.append(NOTES)
+    return "\n".join(out) + "\n"
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--log":
+        e = json.loads(sys.argv[2])
+        e.setdefault("when",
+                     datetime.datetime.now().strftime("%Y-%m-%d %H:%M"))
+        os.makedirs(os.path.dirname(LOG), exist_ok=True)
+        with open(LOG, "a") as f:
+            f.write(json.dumps(e) + "\n")
+    open(OUT, "w").write(render())
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -385,8 +385,14 @@ object Curation {
       // N as a broadcast scalar frame, not an eager driver count():
       // an eager count would re-scan the corpus at every invocation
       val nDocs = docs.agg(count(lit(1)).cast("double").as("n"))
-      val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      // tf is MATERIALIZED: df aggregates a column-pruned (distinct
+      // doc,tok) twin of tf, so the two subplans are not canonically
+      // equal and AQE stage reuse cannot dedupe them — unbarriered,
+      // the scan+explode+shuffle pipeline runs twice (measured 1.24 s
+      // quiet at sf0.1; the r7 artifact's 0.79 s shape)
+      val tf = Dedup.barrier(
+        docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
       val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("tok"))

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder data generator (VERDICT r8, next-round #8): replicate
+  * the sf0.1 documents/embeddings tables N× so the dedup/similarity
+  * tail can be measured one order of magnitude up.
+  *
+  * The replication is SIMILARITY-PARTITIONED by construction:
+  *  - documents: every token in replica r gets the suffix `_r<r>`, so
+  *    intra-replica Jaccard/shingle/minhash structure is EXACTLY the
+  *    original's while cross-replica similarity is zero. Shingle DF
+  *    distributions, LSH bucket occupancies and duplicate-cluster
+  *    sizes are therefore preserved per replica and candidate-pair
+  *    mass provably scales LINEARLY in N — which is precisely the
+  *    property the banded designs claim and the ladder verifies.
+  *    (Naive replication would make every doc a near-copy of its 9
+  *    twins: cluster sizes ×N, candidate pairs ×N², and the ladder
+  *    would measure the data, not the engine.)
+  *  - embeddings: per-(replica, dimension) deterministic sign flips —
+  *    norms and intra-replica geometry preserved exactly, replicas
+  *    scattered in cosine space.
+  *
+  * Usage: runMain graft.tools.ScaleData /root/testdata/sf0.1 tmp/sf1 10
+  */
+object ScaleData {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val out = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = graft.core.ClusterConf.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
+
+    val rep = spark.range(reps.toLong).select(col("id").cast("int").as("rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    docs.crossJoin(broadcast(rep))
+      .select(
+        (col("doc_id") + col("rep").cast("long") * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1_r"), col("rep"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    emb.crossJoin(broadcast(rep))
+      .select(
+        (col("vec_id") + col("rep").cast("long") * 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(hash(col("rep"), i), lit(2)) === lit(0), x)
+            .otherwise(negate(x)))
+          .as("embedding"),
+        col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"""{"wrote":"$out","reps":$reps,""" +
+      s""""docs":${spark.read.parquet(s"$out/documents.parquet").count()},""" +
+      s""""vecs":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+    spark.stop()
+  }
+}

@@ -88,9 +88,10 @@ def test_lap():
         tests += int(r.get("tests", 0))
         fails += int(r.get("failures", 0))
         errs += int(r.get("errors", 0))
-        # scalatest reports canceled tests as <skipped/> children
-        canceled += sum(1 for tc in r.iter("testcase")
-                        if tc.find("skipped") is not None)
+        # scalatest's JUnit XML does NOT mark canceled tests (they
+        # appear as ordinary testcases), so "tests" INCLUDES them;
+        # the canceled count is only visible in the console summary
+        canceled += int(r.get("skipped", 0))
         mtimes.append(os.path.getmtime(p))
     span = None
     if mtimes:
@@ -170,8 +171,9 @@ def render():
     out += ["",
             "## Test lap (target/test-reports, source-backed suites only)",
             "",
-            f"- suites: {suites}, tests: {tests}, failures: {fails}, "
-            f"errors: {errs}, canceled: {canceled}"]
+            f"- suites: {suites}, tests: {tests} (INCLUDING canceled — "
+            "scalatest XML does not mark cancellation), "
+            f"failures: {fails}, errors: {errs}, xml-skipped: {canceled}"]
     if span:
         out.append(f"- XML mtime span: {span[0]:%Y-%m-%d %H:%M} → "
                    f"{span[1]:%Y-%m-%d %H:%M}"

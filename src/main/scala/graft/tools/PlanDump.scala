@@ -125,7 +125,22 @@ object PlanDump {
     "q80_histogram_selectivity", "dd44_weighted_jaccard",
     "pk25_shard_packer", "ev81_fano_overdispersion",
     "ss38_routing_skew", "ev80_replay_cost", "tx41_entropy_rate",
-    "mm19_wav_roundtrip")
+    "mm19_wav_roundtrip",
+    // round-8 waves previously undumped: b-bit minhash, radius census,
+    // hubness pathology, segment-merge recall, conditional surprisal,
+    // burstiness, adaptive stopwords, BPE train, budget waterfill,
+    // dedup-aware packing, the four real-codec censuses + sniffing,
+    // DOULION wedges, KMV set algebra
+    "dd42_bbit_minhash", "ss36_radius_census", "ss37_hubness",
+    "ss39_segment_merge_recall", "tx38_surprisal_filter",
+    "tx39_burstiness", "tx42_adaptive_stopwords", "pk21_bpe_train",
+    "pk24_budget_waterfill", "pk26_dedup_aware_packing",
+    "mm15_pgm_decode", "mm16_warc_roundtrip", "mm17_audio_frames",
+    "mm20_type_sniffing", "ev77_little_law", "q76_kmv_setops",
+    "q77_triangle_doulion",
+    // round 9: the compressed-image census (same shape as mm15 —
+    // join-free mapPartitions decode + one aggregate)
+    "mm21_png_decode")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *    norms and intra-replica geometry preserved exactly, replicas
   *    scattered in cosine space.
   *
+  * Caveat for CHAR-cost operators: the token suffix adds ~3 chars per
+  * token (mean doc length 297 → 460 chars, 1.55×), so a 10× ladder
+  * carries ~15.5× character work. Token and shingle COUNTS are
+  * unchanged. tx08 (winnowing, pure per-char compute) measured 14.2×
+  * at "10×" — i.e. linear in chars, as designed; normalize by
+  * sum(n_chars), not row count, when reading char-bound ladder legs.
+  *
   * Usage: runMain graft.tools.ScaleData /root/testdata/sf0.1 tmp/sf1 10
   */
 object ScaleData {

@@ -660,6 +660,38 @@ class PlanAuditSpec extends SparkSpec {
       s"lint must flag the de-barriered dd44 head:\n${unbarriered.queryExecution.optimizedPlan.treeString}")
   }
 
+  test("INVENTORY-WIDE: no operator reads a fact table at full width") {
+    // the closing-wave pruning audit generalized to every operator
+    // (round 9): a scan that reads all columns of a fact table for a
+    // narrower computation wastes IO proportional to corpus size —
+    // the first thing a refactor silently loses. Dimensions
+    // (region/nation/supplier/part/customer) broadcast and are
+    // exempt; embeddings (3 cols) is exempt — reading all of a
+    // 3-column table is legitimate.
+    val factWidth = Map("orders" -> 6, "lineitem" -> 11, "events" -> 6,
+      "documents" -> 5)
+    val fullWidthOk = Set[String]()
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(fullWidthOk.contains).flatMap { name =>
+        val f = formatted(name)
+        f.split("\\(\\d+\\) Scan parquet").drop(1).toSeq.flatMap { block =>
+          val loc = block.linesIterator
+            .find(_.trim.startsWith("Location:")).getOrElse("")
+          val rs = block.linesIterator
+            .find(_.trim.startsWith("ReadSchema:")).getOrElse("")
+          factWidth.keys.find(t => loc.contains(s"$t.parquet")).flatMap { t =>
+            // "ReadSchema: struct<>" (zero columns) is the OPTIMAL
+            // count-only scan, not a violation
+            val nCols = rs.count(_ == ':') - 1
+            if (rs.nonEmpty && nCols >= factWidth(t))
+              Some(s"$name reads $t at $nCols/${factWidth(t)} cols")
+            else None
+          }
+        }
+      }
+    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
   test("closing-wave operators prune every fact scan below full table width") {
     // column pruning is the first thing a refactor silently loses;
     // embeddings (3 cols) is exempt — reading all of a 3-column

@@ -71,14 +71,20 @@ object Round8l {
       val wedges = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
         .join(o.select(col("u"), col("v").as("v2"), col("dv").as("d2")), Seq("u"))
         .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
-      val nW = wedges.agg(count(lit(1)).cast("long").as("n_wedges"))
-      val nT = wedges.join(o.select(col("v").as("v2"), col("u").as("v1")),
-          Seq("v1", "v2"))
-        .agg(count(lit(1)).cast("long").as("n_tri_sampled"))
+      // ONE wedge pass for both counts (round 9): counting wedges and
+      // closed wedges as two consumers would evaluate the o⋈o fanout
+      // twice — at corpus scale the wedge stream is the dominant
+      // intermediate and is exactly what you never materialize or
+      // replay. A LEFT join against the (unique) oriented closing
+      // edge makes n_wedges = count(*) and n_tri = count(hits).
+      val wAgg = wedges.join(
+          o.select(col("v").as("v2"), col("u").as("v1"))
+            .withColumn("hit", lit(1)), Seq("v1", "v2"), "left")
+        .agg(count(lit(1)).cast("long").as("n_wedges"),
+          count(col("hit")).cast("long").as("n_tri_sampled"))
       val nE = e.agg(count(lit(1)).cast("long").as("n_edges"))
       val nV = deg.agg(count(lit(1)).cast("long").as("n_vertices"))
-      nE.crossJoin(broadcast(nV)).crossJoin(broadcast(nW))
-        .crossJoin(broadcast(nT))
+      nE.crossJoin(broadcast(nV)).crossJoin(broadcast(wAgg))
         .withColumn("est_triangles",
           (col("n_tri_sampled") * lit(SampleMod * SampleMod * SampleMod))
             .cast("long"))

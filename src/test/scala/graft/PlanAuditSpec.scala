@@ -660,6 +660,33 @@ class PlanAuditSpec extends SparkSpec {
       s"lint must flag the de-barriered dd44 head:\n${unbarriered.queryExecution.optimizedPlan.treeString}")
   }
 
+  test("the generate-trap lint fires on an unbarriered banded-signature explode (dd27 shape)") {
+    // the OTHER flavor the lint caught in round 9: a posexplode whose
+    // child subtree computes the minhash signature with no cache
+    // boundary between them
+    spark.catalog.clearCache()
+    val unbarriered = graft.operators.Dedup.bandedSignatures(spark, sf)
+    assert(generateTrapOffenders(unbarriered.queryExecution.optimizedPlan).nonEmpty,
+      "lint must flag the unbarriered signature banding")
+  }
+
+  test("outer generates with inline pipelines are the sanctioned safe shape") {
+    // negative control: dd31's recipe — explode_outer of the computed
+    // array + notnull on the generator OUTPUT — must NOT be flagged
+    // (outer generates infer no filters, so nothing re-evaluates)
+    import org.apache.spark.sql.functions.{col, explode_outer, size, split, trim}
+    spark.catalog.clearCache()
+    val docs = graft.core.Tables.documents(spark, sf)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+    val safe = docs
+      .select(col("doc_id"),
+        explode_outer(graft.operators.Dedup.shingleHashes(col("toks"))).as("h"))
+      .filter(col("h").isNotNull)
+    val flagged = generateTrapOffenders(safe.queryExecution.optimizedPlan)
+    assert(flagged.isEmpty, flagged.mkString("\n"))
+  }
+
   test("INVENTORY-WIDE: no operator reads a fact table at full width") {
     // the closing-wave pruning audit generalized to every operator
     // (round 9): a scan that reads all columns of a fact table for a

@@ -212,6 +212,60 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** REAL image resize through the compressed container (mm22):
+    * decode PNG → stride-2 downsample (keep pixels at even (x, y);
+    * out dims = ceil(in/2)) → RE-ENCODE as PNG → decode again and
+    * report output stats plus the re-encoded container size. The
+    * whole decode→transform→encode→decode chain runs inside one
+    * mapPartitions pass — the shape a thumbnailing / training-resize
+    * stage has at 100 TB (payloads never shuffle; only slim stats
+    * leave the partition). mm04's byte-stride stub is superseded for
+    * PNG by this real-codec path.
+    */
+  def pngResizeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val keep = media.schema.fields.filterNot(_.name == "payload")
+    val outSchema = StructType(keep ++ Seq(
+      StructField("w_out", LongType), StructField("h_out", LongType),
+      StructField("n_px_out", LongType), StructField("sum_px_out", LongType),
+      StructField("min_px_out", LongType), StructField("max_px_out", LongType),
+      StructField("png_bytes_out", LongType)))
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val keepIdx = keep.map(f => media.schema.fieldIndex(f.name))
+    val rdd = media.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        graft.sources.PngCodec.decode(r.getAs[Array[Byte]](payloadIdx)).flatMap { img =>
+          val w2 = (img.width + 1) / 2
+          val h2 = (img.height + 1) / 2
+          val out = new Array[Byte](w2 * h2)
+          var y = 0
+          while (y < h2) {
+            var x = 0
+            while (x < w2) {
+              out(y * w2 + x) = img.pixels((2 * y) * img.width + 2 * x)
+              x += 1
+            }
+            y += 1
+          }
+          val reenc = graft.sources.PngCodec.encode(w2, h2, out)
+          graft.sources.PngCodec.decode(reenc).map { back =>
+            var s = 0L; var mn = 255L; var mx = 0L
+            var k = 0
+            while (k < back.pixels.length) {
+              val v = back.pixel(k).toLong
+              s += v; if (v < mn) mn = v; if (v > mx) mx = v
+              k += 1
+            }
+            Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq[Any](
+              back.width.toLong, back.height.toLong,
+              back.pixels.length.toLong, s, mn, mx, reenc.length.toLong))
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Docs → WARC archive members (the build direction for mm16): one
     * archive per (source, doc_id div 16) group — ≤16 records, ordered
     * by doc_id — each record carrying the id/date headers and the

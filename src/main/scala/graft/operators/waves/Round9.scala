@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
-/** Round-9 first wave: real compressed-image decode (mm21).
+/** Round-9 first wave: real compressed-image decode (mm21) and real
+  * resize through the compressed container (mm22).
   *
   * mm15 (PGM) proved a real binary image decode, but uncompressed —
   * "swap in a codec on a cluster" stayed a promise for compressed
@@ -41,6 +42,29 @@ object Round9 {
         .select(col("source"), col("n_images"), col("total_pixels"),
           col("sum_px"), col("min_px"), col("max_px"), col("mean_px_fx"))
         .orderBy(col("source"))
+    },
+
+    // --- mm22: REAL image resize through the compressed container ---------
+    // mm04's resize is a byte-stride stub; this is the real thing:
+    // decode PNG → stride-2 downsample → RE-ENCODE PNG → decode the
+    // result — the thumbnailing/training-resize chain executed inside
+    // one partition-batched pass, gated against the strided closed
+    // form (pixels at even (x, y): k = (2·row)·w + 2·col).
+    "mm22_png_resize" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val feats = Multimodal.pngResizeFeatures(Multimodal.pngMedia(base))
+      feats.groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_images"),
+          sum(col("n_px_out")).cast("long").as("total_pixels_out"),
+          sum(col("sum_px_out")).cast("long").as("sum_px_out"),
+          min(col("min_px_out")).cast("long").as("min_px_out"),
+          max(col("max_px_out")).cast("long").as("max_px_out"))
+        .withColumn("mean_px_fx",
+          expr(s"(sum_px_out * $Fx) div total_pixels_out"))
+        .select(col("source"), col("n_images"), col("total_pixels_out"),
+          col("sum_px_out"), col("min_px_out"), col("max_px_out"),
+          col("mean_px_fx"))
+        .orderBy(col("source"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -62,5 +86,30 @@ object Round9 {
          |  CAST(MAX(list_max(px)) AS BIGINT) AS max_px,
          |  (CAST(SUM(list_sum(px)) AS BIGINT) * $Fx)
          |    // CAST(SUM(w * h) AS BIGINT) AS mean_px_fx
-         |FROM imgs GROUP BY source ORDER BY source""".stripMargin)
+         |FROM imgs GROUP BY source ORDER BY source""".stripMargin,
+
+    // strided closed form: output pixel i of the w2×h2 raster maps to
+    // input index k = (i // w2 · 2)·w + (i % w2)·2 — no bytes, no codec
+    "mm22_png_resize" ->
+      s"""WITH dims AS (
+         |  SELECT source, doc_id,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+         |    (CAST(4 + doc_id % 5 AS BIGINT) + 1) // 2 AS w2,
+         |    (CAST(3 + doc_id % 4 AS BIGINT) + 1) // 2 AS h2
+         |  FROM documents),
+         |px AS (
+         |  SELECT source, w2, h2,
+         |    list_transform(range(w2 * h2),
+         |      i -> (doc_id * 31 + ((i // w2 * 2) * w + (i % w2) * 2) * 17)
+         |        % 256) AS p
+         |  FROM dims)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(w2 * h2) AS BIGINT) AS total_pixels_out,
+         |  CAST(SUM(list_sum(p)) AS BIGINT) AS sum_px_out,
+         |  CAST(MIN(list_min(p)) AS BIGINT) AS min_px_out,
+         |  CAST(MAX(list_max(p)) AS BIGINT) AS max_px_out,
+         |  (CAST(SUM(list_sum(p)) AS BIGINT) * $Fx)
+         |    // CAST(SUM(w2 * h2) AS BIGINT) AS mean_px_fx
+         |FROM px GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -56,6 +56,37 @@ class Round9Spec extends SparkSpec {
     assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
   }
 
+  test("mm22 resize: strided raster survives the re-encode round trip exactly") {
+    import spark.implicits._
+    // 5x4 raster with distinct values: output must be exactly the
+    // even-(x,y) samples, re-read through a second PNG container
+    val w = 5; val h = 4
+    val px = Array.tabulate(w * h)(k => (k * 7 % 256).toByte)
+    val frame = Seq((1L, PngCodec.encode(w, h, px))).toDF("doc_id", "payload")
+    val r = Multimodal.pngResizeFeatures(frame).collect()
+    assert(r.length === 1)
+    val expect = for (y <- 0 until 2; x <- 0 until 3) yield px(2 * y * w + 2 * x) & 0xff
+    assert(r.head.getAs[Long]("w_out") === 3L)
+    assert(r.head.getAs[Long]("h_out") === 2L)
+    assert(r.head.getAs[Long]("sum_px_out") === expect.map(_.toLong).sum)
+    assert(r.head.getAs[Long]("min_px_out") === expect.min.toLong)
+    assert(r.head.getAs[Long]("max_px_out") === expect.max.toLong)
+    assert(r.head.getAs[Long]("png_bytes_out") > 8L)
+  }
+
+  test("mm22 1x1 images are resize-idempotent; corrupt payloads drop") {
+    import spark.implicits._
+    val one = PngCodec.encode(1, 1, Array(42.toByte))
+    val frame = Seq(
+      (1L, one),
+      (2L, "junk".getBytes)
+    ).toDF("doc_id", "payload")
+    val r = Multimodal.pngResizeFeatures(frame).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    assert(r.head.getAs[Long]("w_out") === 1L)
+    assert(r.head.getAs[Long]("sum_px_out") === 42L)
+  }
+
   test("mm21 query matches the mm15 census values (same raster, compressed path)") {
     // PNG is lossless and the raster closed form is shared, so the
     // two containers must produce IDENTICAL census rows — any

@@ -139,8 +139,9 @@ object PlanDump {
     "mm20_type_sniffing", "ev77_little_law", "q76_kmv_setops",
     "q77_triangle_doulion",
     // round 9: the compressed-image census (same shape as mm15 —
-    // join-free mapPartitions decode + one aggregate)
-    "mm21_png_decode")
+    // join-free mapPartitions decode + one aggregate) and the
+    // decode→resize→re-encode chain
+    "mm21_png_decode", "mm22_png_resize")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -64,9 +64,50 @@ object ScaleData {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: per-replica id/user offsets keep every per-user stream's
+    // session/gap structure exactly the original's; timestamps are
+    // copied through, so per-hour volume scales xN — the realistic
+    // scale-up for the streaming/session arms
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    ev.crossJoin(broadcast(rep))
+      .select(
+        (col("event_id") + col("rep").cast("long") * 10000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep").cast("long") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // lineitem + orders: the SAME per-replica offset on every join key
+    // (orderkey, custkey, suppkey, partkey) keeps replica subgraphs
+    // disjoint and FK-consistent — graph ops (q56 PageRank, q77
+    // wedges) scale linearly by construction instead of densifying
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    li.crossJoin(broadcast(rep))
+      .select(
+        (col("l_orderkey") + col("rep").cast("long") * 10000000L).as("l_orderkey"),
+        (col("l_partkey") + col("rep").cast("long") * 10000000L).as("l_partkey"),
+        (col("l_suppkey") + col("rep").cast("long") * 10000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    ord.crossJoin(broadcast(rep))
+      .select(Seq(
+        (col("o_orderkey") + col("rep").cast("long") * 10000000L).as("o_orderkey"),
+        (col("o_custkey") + col("rep").cast("long") * 10000000L).as("o_custkey")) ++
+        ord.columns.filterNot(Set("o_orderkey", "o_custkey")).map(col): _*)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     println(s"""{"wrote":"$out","reps":$reps,""" +
       s""""docs":${spark.read.parquet(s"$out/documents.parquet").count()},""" +
-      s""""vecs":${spark.read.parquet(s"$out/embeddings.parquet").count()}}""")
+      s""""vecs":${spark.read.parquet(s"$out/embeddings.parquet").count()},""" +
+      s""""events":${spark.read.parquet(s"$out/events.parquet").count()},""" +
+      s""""lineitem":${spark.read.parquet(s"$out/lineitem.parquet").count()}}""")
     spark.stop()
   }
 }

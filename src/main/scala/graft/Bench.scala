@@ -150,6 +150,17 @@ object Bench {
         s""""batch":${laneJson(batchMins)},"stream":${laneJson(streamMins)},""" +
         s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}"""
     println(line)
+    // Sidecar with the FULL per-query map (VERDICT r9 #1): the driver
+    // artifact's 2000-char tail can never hold all 333 entries, which
+    // made the r9 tx15-17 "regressions" unprovable either way. Write
+    // the complete summary line to a file so a quiet lap's per-query
+    // map can be committed verbatim as the artifact of record.
+    locally {
+      val out = Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tmp/bench_full.json"))
+      Option(out.getParent).foreach(Files.createDirectories(_))
+      Files.writeString(out, line + "\n")
+      println(s"""{"bench_full":"${out.toString}"}""")
+    }
     // The driver's artifact keeps only the LAST ~2000 chars of output;
     // at 168+ queries the full map line above no longer fits, so the
     // round-5 artifact lost the headline total (parsed: null). The

@@ -180,7 +180,8 @@ object Multimodal {
   /** REAL compressed decode via [[graft.sources.PngCodec]] —
     * partition-batched like [[pgmFeatures]]; undecodable payloads
     * yield no feature row. `png_bytes` carries the container size
-    * (compression-dependent, so it feeds specs, not the oracle).
+    * (compression-dependent, so it feeds specs, not the oracle);
+    * `bands` is the source layout (1 = gray, 3 = RGB→BT.601 luma).
     */
   def pngFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -189,7 +190,7 @@ object Multimodal {
       StructField("w", LongType), StructField("h", LongType),
       StructField("n_px", LongType), StructField("sum_px", LongType),
       StructField("min_px", LongType), StructField("max_px", LongType),
-      StructField("png_bytes", LongType)))
+      StructField("png_bytes", LongType), StructField("bands", LongType)))
     val payloadIdx = media.schema.fieldIndex("payload")
     val keepIdx = keep.map(f => media.schema.fieldIndex(f.name))
     val rdd = media.rdd.mapPartitions { it =>
@@ -205,8 +206,41 @@ object Multimodal {
           }
           Row.fromSeq(keepIdx.map(r.get).toSeq ++ Seq[Any](
             img.width.toLong, img.height.toLong, img.pixels.length.toLong,
-            s, mn, mx, bytes.length.toLong))
+            s, mn, mx, bytes.length.toLong, img.bands.toLong))
         }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Mixed gray/color PNG corpus (mm23's build direction): even
+    * doc_ids keep [[pngMedia]]'s grayscale closed form; odd doc_ids
+    * become TRUECOLOR PNGs with per-channel closed forms
+    * r = (id·31 + k·17) % 256, g = (id·59 + k·23) % 256,
+    * b = (id·13 + k·29) % 256 — so the decoded BT.601 luminance is a
+    * byte-free integer form the DuckDB oracle replays exactly.
+    */
+  def pngColorMedia(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val outSchema = StructType(base.schema.fields ++ Seq(
+      StructField("payload", BinaryType)))
+    val idIdx = base.schema.fieldIndex("doc_id")
+    val rdd = base.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val bytes =
+          if (id % 2 == 0) {
+            val px = Array.tabulate(w * h)(k => ((id * 31 + k * 17) % 256).toByte)
+            graft.sources.PngCodec.encode(w, h, px)
+          } else {
+            val rr = Array.tabulate(w * h)(k => ((id * 31 + k * 17) % 256).toByte)
+            val gg = Array.tabulate(w * h)(k => ((id * 59 + k * 23) % 256).toByte)
+            val bb = Array.tabulate(w * h)(k => ((id * 13 + k * 29) % 256).toByte)
+            graft.sources.PngCodec.encodeRgb(w, h, rr, gg, bb)
+          }
+        Row.fromSeq(r.toSeq :+ bytes)
       }
     }
     spark.createDataFrame(rdd, outSchema)

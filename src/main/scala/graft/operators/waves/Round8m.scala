@@ -28,6 +28,13 @@ object Round8m {
   /** ss37: neighbors per query for the k-occurrence census. */
   private val HubK = 5
 
+  /** ss37: loud fence on the EXACT all-pairs arm (VERDICT r9). The
+    * eval corpus is fixed-size; past this cap the O(n²) plan is the
+    * wrong tool and the query fails fast with a pointer to ss40's
+    * linear sampled estimator instead of melting a cluster.
+    */
+  private val HubnessExactCap = 10000L
+
   /** pk23: prefix lengths (tokens) priced for cache sharing. */
   private val PrefixLens = Seq(8, 32, 128)
 
@@ -70,11 +77,22 @@ object Round8m {
     // The all-pairs score is the documented quadratic eval arm — the
     // embeddings table is fixed-size (500), and orphans are found by
     // a LEFT join from the corpus id list, never a full re-scan.
+    // FENCED (round 10): the exact arm refuses corpora past
+    // HubnessExactCap — production corpora go through ss40's linear
+    // sampled-panel estimator. The count materializes the barrier
+    // cache, so the guard costs one cached scan, not an extra job
+    // over cold data.
     "ss37_hubness" -> { (s, d) =>
       val e = Dedup.barrier(Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
         .withColumn("norm", Similarity.l2norm(col("emb"))))
+      val nCorpus = e.count()
+      require(nCorpus <= HubnessExactCap,
+        s"ss37_hubness is the EXACT all-pairs eval arm (O(n^2) pairs): " +
+          s"corpus has $nCorpus vectors > cap $HubnessExactCap. " +
+          "Use ss40_hubness_sampled (linear, fixed query panel) for " +
+          "production corpora.")
       val q = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"))
       val topk = e.crossJoin(broadcast(q))

@@ -103,11 +103,36 @@ object ScaleData {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // Dimension tables (ADVICE r9): the fact offsets above reference
+    // custkey/suppkey/partkey values in replicas > 0 that exist in no
+    // source dim table — a dim-joining ladder leg would crash on the
+    // missing parquet or silently match only replica 0 and bias the
+    // reading. Replicate each dim with the SAME per-replica offset on
+    // its primary key (FK-consistent by construction); nation/region
+    // are referenced by unoffset c_nationkey/s_nationkey, so copy
+    // those two verbatim.
+    def replicateDim(table: String, key: String): Unit = {
+      val d = spark.read.parquet(s"$src/$table.parquet")
+      d.crossJoin(broadcast(rep))
+        .select(Seq((col(key) + col("rep").cast("long") * 10000000L).as(key)) ++
+          d.columns.filterNot(_ == key).map(col): _*)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+    }
+    replicateDim("customer", "c_custkey")
+    replicateDim("supplier", "s_suppkey")
+    replicateDim("part", "p_partkey")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
     println(s"""{"wrote":"$out","reps":$reps,""" +
       s""""docs":${spark.read.parquet(s"$out/documents.parquet").count()},""" +
       s""""vecs":${spark.read.parquet(s"$out/embeddings.parquet").count()},""" +
       s""""events":${spark.read.parquet(s"$out/events.parquet").count()},""" +
-      s""""lineitem":${spark.read.parquet(s"$out/lineitem.parquet").count()}}""")
+      s""""lineitem":${spark.read.parquet(s"$out/lineitem.parquet").count()},""" +
+      s""""customer":${spark.read.parquet(s"$out/customer.parquet").count()}}""")
     spark.stop()
   }
 }

@@ -520,7 +520,11 @@ class PlanAuditSpec extends SparkSpec {
       // ss39 broadcasts the per-segment centroid tables and the bounded
       // query panel (ss38's pattern; the truth arm is the documented
       // quadratic eval, ss37's precedent)
-      "ss39_segment_merge_recall")
+      "ss39_segment_merge_recall",
+      // ss40 broadcasts the fixed-size hash-ranked query panel
+      // (ss19's pattern — P·n, linear in the corpus) plus the 1-row
+      // n_corpus × n_panel counts aggregate for the scale-up
+      "ss40_hubness_sampled")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted
@@ -698,7 +702,39 @@ class PlanAuditSpec extends SparkSpec {
     val factWidth = Map("orders" -> 6, "lineitem" -> 11, "events" -> 6,
       "documents" -> 5)
     val fullWidthOk = Set[String]()
-    val offenders = SparkEntry.queries.keys.toSeq.sorted
+    val offenders = scanWidthOffenders(factWidth, fullWidthOk)
+    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
+  }
+
+  /** Top-level field count of a "ReadSchema: struct<a:t,b:struct<c:u>>"
+    * line: commas at angle-bracket depth 1, plus 1. A colon count
+    * over-counts nested struct fields (ADVICE r9). Empty struct<> = 0
+    * (the optimal count-only scan).
+    */
+  private def readSchemaCols(rs: String): Int = {
+    val open = rs.indexOf('<')
+    val close = rs.lastIndexOf('>')
+    if (open < 0 || close <= open + 1) 0
+    else {
+      var depth = 1
+      var commas = 0
+      var i = open + 1
+      while (i < close) {
+        rs.charAt(i) match {
+          case '<' => depth += 1
+          case '>' => depth -= 1
+          case ',' => if (depth == 1) commas += 1
+          case _ =>
+        }
+        i += 1
+      }
+      commas + 1
+    }
+  }
+
+  private def scanWidthOffenders(factWidth: Map[String, Int],
+      fullWidthOk: Set[String]): Seq[String] = {
+    SparkEntry.queries.keys.toSeq.sorted
       .filterNot(fullWidthOk.contains).flatMap { name =>
         val f = formatted(name)
         f.split("\\(\\d+\\) Scan parquet").drop(1).toSeq.flatMap { block =>
@@ -709,14 +745,13 @@ class PlanAuditSpec extends SparkSpec {
           factWidth.keys.find(t => loc.contains(s"$t.parquet")).flatMap { t =>
             // "ReadSchema: struct<>" (zero columns) is the OPTIMAL
             // count-only scan, not a violation
-            val nCols = rs.count(_ == ':') - 1
+            val nCols = readSchemaCols(rs)
             if (rs.nonEmpty && nCols >= factWidth(t))
               Some(s"$name reads $t at $nCols/${factWidth(t)} cols")
             else None
           }
         }
       }
-    assert(offenders.isEmpty, offenders.distinct.mkString("\n"))
   }
 
   test("closing-wave operators prune every fact scan below full table width") {
@@ -737,7 +772,7 @@ class PlanAuditSpec extends SparkSpec {
         val table = fullWidth.keys.find(t => loc.contains(s"$t.parquet"))
         val rs = block.linesIterator.find(_.trim.startsWith("ReadSchema:")).getOrElse("")
         table.foreach { t =>
-          val nCols = rs.count(_ == ':') - 1 // "ReadSchema: struct<a:t,b:t>"
+          val nCols = readSchemaCols(rs)
           assert(nCols > 0 && nCols < fullWidth(t),
             s"$q reads $t unpruned ($nCols/${fullWidth(t)} cols): $rs")
         }

@@ -50,12 +50,48 @@ class PngCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("multi-band (color) PNGs are out of contract and return None") {
-    val img = new java.awt.image.BufferedImage(
-      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    img.setRGB(1, 1, 0xff8040)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    assert(PngCodec.decode(bos.toByteArray).isEmpty)
+  test("truecolor PNGs decode to pinned BT.601 integer luminance") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new Random(seed)
+      val w = 1 + rnd.nextInt(20)
+      val h = 1 + rnd.nextInt(15)
+      val r = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val g = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val b = Array.fill(w * h)(rnd.nextInt(256).toByte)
+      val img = PngCodec.decode(PngCodec.encodeRgb(w, h, r, g, b))
+        .getOrElse(fail(s"seed=$seed: color round-trip failed"))
+      assert(img.bands === 3)
+      assert(img.width === w)
+      assert(img.height === h)
+      (0 until w * h).foreach { k =>
+        val want = PngCodec.luma(r(k) & 0xff, g(k) & 0xff, b(k) & 0xff)
+        assert(img.pixel(k) === want, s"seed=$seed pixel $k")
+      }
+    }
+    // the pinned coefficients: 77+150+29 = 256 keeps white at 255
+    assert(PngCodec.luma(255, 255, 255) === 255)
+    assert(PngCodec.luma(0, 0, 0) === 0)
+  }
+
+  test("16-bit gray, palette, and alpha PNGs are out of contract (ADVICE r9)") {
+    import java.awt.image.BufferedImage
+    def png(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 16-bit grayscale: 1 band but 16-bit samples — toByte would
+    // silently truncate, so the gate must reject it
+    val g16 = new BufferedImage(4, 3, BufferedImage.TYPE_USHORT_GRAY)
+    g16.getRaster.setSample(1, 1, 0, 0x8123)
+    assert(PngCodec.decode(png(g16)).isEmpty, "16-bit gray accepted")
+    // palette-indexed: 1 band of 8-bit PALETTE INDICES, not intensities
+    val pal = new BufferedImage(4, 3, BufferedImage.TYPE_BYTE_INDEXED)
+    pal.setRGB(2, 1, 0x336699)
+    assert(PngCodec.decode(png(pal)).isEmpty, "palette accepted")
+    // RGBA: 4 bands
+    val argb = new BufferedImage(4, 3, BufferedImage.TYPE_INT_ARGB)
+    argb.setRGB(0, 0, 0x80ff8040)
+    assert(PngCodec.decode(png(argb)).isEmpty, "alpha accepted")
   }
 }

@@ -147,14 +147,17 @@ def render():
            "| --- | --- | --- | --- | --- |"]
     for rnd, n, full, ro, err in correctness_rows():
         out.append(f"| r{rnd} | {n} | {full} | {ro} | {err} |")
+    # cpus is a per-round column (ADVICE r9): hardcoding local[32] in
+    # the header would mislabel a round run at different parallelism —
+    # the exact constant drift this generator exists to eliminate
     out += ["",
-            "## Driver rounds: bench (graft.Bench, local[32])",
+            "## Driver rounds: bench (graft.Bench)",
             "",
-            "| round | sf | total s | queries | s/query | batch | stream | contended | load |",
-            "| --- | --- | --- | --- | --- | --- | --- | --- | --- |"]
+            "| round | sf | cpus | total s | queries | s/query | batch | stream | contended | load |",
+            "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |"]
     for rnd, sf, cpus, dig in bench_rows():
         if not dig:
-            out.append(f"| r{rnd} | {sf} | (digest not captured) | | | | | | |")
+            out.append(f"| r{rnd} | {sf} | {cpus} | (digest not captured) | | | | | | |")
             continue
         n = dig.get("n") or len(dig.get("queries", {}))
         total = dig.get("value")
@@ -165,7 +168,7 @@ def render():
         def lane(x):
             return f"{x.get('sec', '')} / {x.get('n', '')}" if x else ""
         out.append(
-            f"| r{rnd} | {sf} | {total} | {n} | {spq} | {lane(b)} | {lane(st)} "
+            f"| r{rnd} | {sf} | {cpus} | {total} | {n} | {spq} | {lane(b)} | {lane(st)} "
             f"| {dig.get('contended', '')} | {dig.get('load', '')} |")
     suites, tests, fails, errs, canceled, skipped, span = test_lap()
     out += ["",

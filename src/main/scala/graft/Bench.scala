@@ -5,10 +5,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Spill-aware partition sizing (the 100 TB knob): cpus partitions
+    // is right when each holds a memory-sized slice, but a scale-
+    // ladder corpus at the SAME partition count concentrates 100x the
+    // rows per sort — the r10 sf10 leg OOM'd dd11/dd33's sorts at 32.
+    // On a cluster this is spark.sql.shuffle.partitions sized to data;
+    // here it's the same dial as an env override.
+    val shufParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // the sign-LSH density dial for ladder corpora (Dedup.signBandColsFor)
+    val embBits = sys.env.getOrElse("SPARK_GRAFT_EMB_BAND_BITS",
+      graft.operators.Dedup.EmbBandBits.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufParts)
+      .config("spark.graft.emb.bandBits", embBits)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -76,8 +87,11 @@ object Bench {
         None
       }
     }
+    // sample count override for scale-ladder legs (a 100x corpus pays
+    // minutes per sample; one honest run beats three aborted ones)
+    val nSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, (1 to 3).flatMap(_ => sample(name, fn)))
+      (name, fn, (1 to nSamples).flatMap(_ => sample(name, fn)))
     }
     // Contention self-repair: a query whose samples spread >2.5x was
     // measured under transient load (GC debris, a concurrent process)

@@ -296,12 +296,29 @@ object Dedup {
     * projection in one codegen stage (the minhashSigCols lesson).
     */
   def signBandCols(emb: Column): Seq[Column] =
-    (0 until EmbBands).map { j =>
-      (0 until EmbBandBits).map { i =>
-        when(element_at(emb, j * EmbBandBits + i + 1) > 0.0,
+    signBandColsFor(emb, EmbBandBits)
+
+  /** The DENSITY DIAL (round 10): band width in bits, bands = 64/bits.
+    * 4-bit bands (the default, mirrored literally by the DuckDB
+    * oracle) collide at ~1/16 per band — the recall-first geometry for
+    * eval-scale corpora, but candidate mass grows ~n²/2^bits per band,
+    * so a denser corpus must widen the bands: the sf10 ladder's 200k
+    * vectors at 4 bits planned ~2×10⁹ pairs (>54 GB of sort spill);
+    * at 16 bits the same corpus yields a tractable candidate set, the
+    * dd21 b×r S-curve trade (recall recovered by multi-probe, ss07).
+    * Sessions opt in via spark.graft.emb.bandBits ∈ {4, 8, 16};
+    * oracle laps never set it, so gated results are bit-identical.
+    */
+  def signBandColsFor(emb: Column, bits: Int): Seq[Column] = {
+    require(64 % bits == 0 && bits >= 1 && bits <= 62,
+      s"bandBits must divide 64: $bits")
+    (0 until 64 / bits).map { j =>
+      (0 until bits).map { i =>
+        when(element_at(emb, j * bits + i + 1) > 0.0,
           lit((1L << i))).otherwise(lit(0L))
       }.reduce(_ + _)
     }
+  }
 
   /** embeddings → (vec_id, label, emb: array<double>, norm). */
   private[operators] def embBase(s: SparkSession, d: String): DataFrame =
@@ -317,9 +334,11 @@ object Dedup {
     * self-join.
     */
   private[operators] def embCandidates(s: SparkSession, d: String): DataFrame = {
+    val bits = s.conf.getOption("spark.graft.emb.bandBits")
+      .map(_.toInt).getOrElse(EmbBandBits)
     val banded = barrier(embBase(s, d)
       .select(col("vec_id"), col("label"),
-        posexplode(array(signBandCols(col("emb")): _*)))
+        posexplode(array(signBandColsFor(col("emb"), bits): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val"))
     val a = banded.select(col("label"), col("band"), col("band_val"),

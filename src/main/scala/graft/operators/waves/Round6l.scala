@@ -37,8 +37,12 @@ object Round6l {
         .as[StreamNearDup.DocSig]
       val hitStream = StreamNearDup.hits(
         StreamNearDup.banded(feed), maxPerBucket = 1 << 20)
-      val snap = StreamJobs.runMemorySnapshot(
-        hitStream.toDF(), "graft_ev48_mem", "append")
+      // FILE snapshot, not memory: the hit stream is data-proportional
+      // (one row per banded near-dup pair), and a memory sink collects
+      // it all to the driver — the sf10 ladder measured 2.1 GiB of
+      // task results against the 1 GiB maxResultSize. The file sink
+      // keeps the census distributed end to end.
+      val snap = StreamJobs.runFileSnapshot(hitStream.toDF())
       // the same pair can fire in up to 4 bands — consumers dedup in
       // foreachBatch; here the census folds distinct pairs
       val pairs = snap.select(col("doc_id"), col("dup_of")).distinct()

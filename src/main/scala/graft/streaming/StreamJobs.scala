@@ -163,6 +163,37 @@ object StreamJobs {
     s.table(name)
   }
 
+  /** Drain a streaming frame into a FILE-sink snapshot and read it
+    * back — the scale-safe twin of [[runMemorySnapshot]] for
+    * DATA-PROPORTIONAL append outputs. A memory sink collects every
+    * micro-batch's rows to the driver (the r10 sf10 ladder killed
+    * ev48 exactly there: 2.1 GiB of task results vs the 1 GiB
+    * maxResultSize); the file sink keeps output distributed, which is
+    * also the shape a production deployment has (files/Kafka, never
+    * driver memory). Same stateParts contract and single-threaded-
+    * session assumption as runMemorySnapshot. Append mode only (the
+    * file sink's own constraint — complete-mode aggregates are tiny
+    * and belong on the memory sink).
+    */
+  def runFileSnapshot(df: DataFrame, stateParts: Int = 4): DataFrame = {
+    val s = df.sparkSession
+    val dir = java.nio.file.Files.createTempDirectory("graft-fsnap").toString
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    try {
+      val q = df.writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // zero-output streams leave no part files — the explicit schema
+    // keeps the read valid either way
+    s.read.schema(df.schema).parquet(s"$dir/out")
+  }
+
   case class AsOfIn(k: Long, ts: Long, side: Int, v: Option[Double])
   case class AsOfCarry(ts: Long, v: Option[Double])
   case class AsOfOut(k: Long, ts: Long, asof_v: Option[Double])

@@ -43,6 +43,11 @@ object Round10 {
     */
   private val PanelSize = 64
 
+  /** dd45: the sign-LSH band widths priced by the density planner
+    * (the legal values of spark.graft.emb.bandBits).
+    */
+  private val DialBits = Seq(4, 8, 16)
+
   /** Per-vector estimated k-occurrence from a hash-ranked query panel
     * of `panelSize` (vec_id, panel_indeg, est_indeg). Public so the
     * spec can run the SAME code path at panelSize ≥ n, where the
@@ -97,6 +102,37 @@ object Round10 {
           max(col("est_indeg")).cast("long").as("max_est_indeg"),
           sum(col("panel_indeg")).cast("long").as("panel_mass"))
         .orderBy(col("octave"))
+    },
+
+    // --- dd45: sign-LSH density planner across the bandBits dial ------
+    // The planning census behind spark.graft.emb.bandBits: per band
+    // width ∈ {4, 8, 16} (bands = 64/bits), the occupied-bucket count,
+    // max occupancy, and total candidate-pair mass Σ C(occ, 2) over
+    // (label, band, band_val) buckets — the number a deployment reads
+    // BEFORE choosing the geometry (the sf10 ladder's 4-bit setting
+    // planned ~2×10⁹ pairs at 200k vectors; this operator would have
+    // said so for the price of one occupancy scan per dial stop).
+    // Same shape as dd17's simhash occupancy audit, swept across the
+    // dial instead of pinned to one geometry.
+    "dd45_band_density_plan" -> { (s, d) =>
+      val e = Dedup.barrier(Tables.embeddings(s, d)
+        .select(col("label"),
+          col("embedding").cast("array<double>").as("emb")))
+      DialBits.map { bits =>
+        e.select(lit(bits.toLong).as("band_bits"), col("label"),
+            posexplode(array(Dedup.signBandColsFor(col("emb"), bits): _*)))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "band_val")
+          .groupBy(col("band_bits"), col("label"), col("band"),
+            col("band_val"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("band_bits"))
+          .agg(count(lit(1)).cast("long").as("n_buckets"),
+            max(col("c")).cast("long").as("max_occupancy"),
+            sum(expr("(c * (c - 1)) div 2")).cast("long")
+              .as("candidate_pairs"))
+      }.reduce(_ unionByName _)
+        .orderBy(col("band_bits"))
     },
 
     // --- mm23: color-PNG decode to pinned BT.601 luminance ------------
@@ -157,6 +193,34 @@ object Round10 {
          |  CAST(MAX(est_indeg) AS BIGINT) AS max_est_indeg,
          |  CAST(SUM(panel_indeg) AS BIGINT) AS panel_mass
          |FROM est GROUP BY 1 ORDER BY octave""".stripMargin
+    },
+
+    // the same dial sweep in SQL: per width, 64/bits band selects with
+    // literal CASE sign sums (duckEmbBands' pattern generalized), one
+    // occupancy census — the hash match proves the planner's mass
+    // arithmetic, which is what the geometry choice rides on
+    "dd45_band_density_plan" -> {
+      val bandSelects = DialBits.map { bits =>
+        (0 until 64 / bits).map { j =>
+          val v = (0 until bits).map(i =>
+            s"CASE WHEN emb[${j * bits + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
+            .mkString(" + ")
+          s"SELECT $bits AS band_bits, label, $j AS band, " +
+            s"CAST($v AS BIGINT) AS band_val FROM e"
+        }.mkString("\n  UNION ALL\n  ")
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (
+         |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bands AS (
+         |  $bandSelects),
+         |occ AS (
+         |  SELECT band_bits, label, band, band_val, COUNT(*) AS c
+         |  FROM bands GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(band_bits AS BIGINT) AS band_bits,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(c) AS BIGINT) AS max_occupancy,
+         |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+         |FROM occ GROUP BY 1 ORDER BY band_bits""".stripMargin
     },
 
     // per-parity closed forms: even ids replay mm21's grayscale

@@ -71,6 +71,25 @@ class Round10Spec extends SparkSpec {
     assert(ex.getMessage.contains("ss40_hubness_sampled"))
   }
 
+  test("dd45 density planner: wider bands monotonically shrink candidate mass") {
+    val rows = SparkEntry.queries("dd45_band_density_plan")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("band_bits"))
+    assert(rows.map(_.getAs[Long]("band_bits")).toSeq === Seq(4L, 8L, 16L))
+    // the dial's whole point: each doubling of band width cuts the
+    // per-band collision rate ~2^bits, so candidate mass must fall
+    val pairs = rows.map(_.getAs[Long]("candidate_pairs"))
+    assert(pairs(0) > pairs(1) && pairs(1) > pairs(2),
+      s"candidate mass not monotone in band width: ${pairs.toSeq}")
+    rows.foreach { r =>
+      val buckets = r.getAs[Long]("n_buckets")
+      val maxOcc = r.getAs[Long]("max_occupancy")
+      assert(buckets >= 1L && maxOcc >= 1L)
+      // every bucket of size c contributes C(c,2) <= C(maxOcc,2)
+      assert(r.getAs[Long]("candidate_pairs") <=
+        buckets * (maxOcc * (maxOcc - 1)) / 2)
+    }
+  }
+
   test("mm23 color PNG: gray and color arms both present, luma in range") {
     val rows = SparkEntry.queries("mm23_png_color")(spark, sf).collect()
     assert(rows.nonEmpty)

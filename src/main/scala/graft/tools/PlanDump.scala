@@ -141,7 +141,10 @@ object PlanDump {
     // round 9: the compressed-image census (same shape as mm15 —
     // join-free mapPartitions decode + one aggregate) and the
     // decode→resize→re-encode chain
-    "mm21_png_decode", "mm22_png_resize")
+    "mm21_png_decode", "mm22_png_resize",
+    // round 10: linear sampled hubness (broadcast fixed panel),
+    // color-PNG census, density-planner occupancy sweep
+    "ss40_hubness_sampled", "mm23_png_color", "dd45_band_density_plan")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

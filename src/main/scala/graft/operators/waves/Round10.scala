@@ -75,8 +75,12 @@ object Round10 {
       .withColumn("rk", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("cos_fx").desc, col("vec_id"))))
       .filter(col("rk") <= HubK)
-    val indeg = topk.groupBy(col("vec_id"))
-      .agg(count(lit(1)).cast("long").as("panel_indeg"))
+    // indeg is bounded by panel×k rows (≤ 320 at the defaults) —
+    // broadcast it so the orphan LEFT join never shuffles the corpus
+    // id list (the initial plan otherwise picks SortMergeJoin: the
+    // aggregate's output stats are unknown at planning time)
+    val indeg = broadcast(topk.groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("long").as("panel_indeg")))
     e.select(col("vec_id"))
       .join(indeg, Seq("vec_id"), "left")
       .withColumn("panel_indeg", coalesce(col("panel_indeg"), lit(0L)))

@@ -91,7 +91,12 @@ object Bench {
     // minutes per sample; one honest run beats three aborted ones)
     val nSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, (1 to nSamples).flatMap(_ => sample(name, fn)))
+      val ts = (1 to nSamples).flatMap(_ => sample(name, fn))
+      // reclaim file-snapshot dirs (ev48-class streams) between
+      // queries — each sample re-drains its own fresh dir, so at
+      // ladder scale leaving them accumulates multi-GiB per sample
+      graft.streaming.StreamJobs.cleanupFileSnapshots()
+      (name, fn, ts)
     }
     // Contention self-repair: a query whose samples spread >2.5x was
     // measured under transient load (GC debris, a concurrent process)
@@ -100,9 +105,11 @@ object Bench {
     // prior-round table and scales with sf.
     val results = firstPass.map { case (name, fn, times) =>
       val all =
-        if (times.nonEmpty && times.max / times.min > 2.5)
-          times ++ (1 to 2).flatMap(_ => sample(name, fn))
-        else times
+        if (times.nonEmpty && times.max / times.min > 2.5) {
+          val extra = (1 to 2).flatMap(_ => sample(name, fn))
+          graft.streaming.StreamJobs.cleanupFileSnapshots()
+          times ++ extra
+        } else times
       (name, all)
     }
     // Per-query detail lines (full names) for humans reading the log.

@@ -77,25 +77,34 @@ object Round8m {
     // The all-pairs score is the documented quadratic eval arm — the
     // embeddings table is fixed-size (500), and orphans are found by
     // a LEFT join from the corpus id list, never a full re-scan.
-    // FENCED (round 10): the exact arm refuses corpora past
-    // HubnessExactCap — production corpora go through ss40's linear
-    // sampled-panel estimator. The count materializes the barrier
-    // cache, so the guard costs one cached scan, not an extra job
-    // over cold data.
+    // FENCED (round 10, made LAZY in round 11): the exact arm refuses
+    // corpora past HubnessExactCap — production corpora go through
+    // ss40's linear sampled-panel estimator. The fence is a 1-row
+    // broadcast guard (count → raise_error past cap) threaded through
+    // a filter, so plan-only tooling (PlanDump, ShuffleProbe, plan
+    // audits) never executes a scan just to build the frame; the
+    // guard's broadcast build fires at the FIRST action, before the
+    // quadratic join streams (ADVICE r10).
     "ss37_hubness" -> { (s, d) =>
       val e = Dedup.barrier(Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
         .withColumn("norm", Similarity.l2norm(col("emb"))))
-      val nCorpus = e.count()
-      require(nCorpus <= HubnessExactCap,
-        s"ss37_hubness is the EXACT all-pairs eval arm (O(n^2) pairs): " +
-          s"corpus has $nCorpus vectors > cap $HubnessExactCap. " +
-          "Use ss40_hubness_sampled (linear, fixed query panel) for " +
-          "production corpora.")
+      val guard = broadcast(e.agg(count(lit(1)).cast("long").as("n_corpus"))
+        .select(when(col("n_corpus") <= HubnessExactCap, lit(1L))
+          .otherwise(raise_error(concat(
+            lit("ss37_hubness is the EXACT all-pairs eval arm (O(n^2) " +
+              "pairs): corpus has "),
+            col("n_corpus").cast("string"),
+            lit(s" vectors > cap $HubnessExactCap. Use " +
+              "ss40_hubness_sampled (linear, fixed query panel) for " +
+              "production corpora."))))
+          .as("fence_ok")))
+      val fenced = e.crossJoin(guard)
+        .filter(col("fence_ok") === 1L).drop("fence_ok")
       val q = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         col("norm").as("q_norm"))
-      val topk = e.crossJoin(broadcast(q))
+      val topk = fenced.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos_fx", floor(
           Similarity.dot(col("emb"), col("q_emb"))

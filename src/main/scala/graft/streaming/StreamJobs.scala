@@ -175,9 +175,42 @@ object StreamJobs {
     * file sink's own constraint — complete-mode aggregates are tiny
     * and belong on the memory sink).
     */
+  /** Snapshot dirs created by [[runFileSnapshot]] and not yet
+    * reclaimed. At ladder scale each holds multi-GiB parquet +
+    * checkpoint state, so leaking them across bench samples fills
+    * /tmp (ADVICE r10); a shutdown hook sweeps whatever callers
+    * didn't reclaim explicitly.
+    */
+  private val snapshotDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val snapshotHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteSnapshotDirs()))
+  }
+
+  private def deleteSnapshotDirs(): Unit = {
+    var p = snapshotDirs.poll()
+    while (p != null) {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch { case _: java.io.IOException => () }
+      p = snapshotDirs.poll()
+    }
+  }
+
+  /** Delete every snapshot dir created so far. Safe once the frames
+    * read from them are fully consumed (the next [[runFileSnapshot]]
+    * call makes a fresh dir) — bench calls this between queries.
+    */
+  def cleanupFileSnapshots(): Unit = deleteSnapshotDirs()
+
   def runFileSnapshot(df: DataFrame, stateParts: Int = 4): DataFrame = {
     val s = df.sparkSession
-    val dir = java.nio.file.Files.createTempDirectory("graft-fsnap").toString
+    snapshotHook
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-fsnap")
+    snapshotDirs.add(dirPath)
+    val dir = dirPath.toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     try {

@@ -65,10 +65,15 @@ class Round10Spec extends SparkSpec {
         array(lit(1.0f), lit(0.0f)).as("embedding"),
         lit("x").as("label"))
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val ex = intercept[IllegalArgumentException] {
-      SparkEntry.queries("ss37_hubness")(spark, dir)
-    }
-    assert(ex.getMessage.contains("ss40_hubness_sampled"))
+    // the fence is LAZY (round 11): construction stays plan-only so
+    // PlanDump/ShuffleProbe never run a scan; the raise_error guard
+    // fires at the first action, before the quadratic join streams
+    val frame = SparkEntry.queries("ss37_hubness")(spark, dir)
+    val ex = intercept[Exception] { frame.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("ss40_hubness_sampled")),
+      s"fence error did not point at ss40: ${msgs(ex).mkString(" | ")}")
   }
 
   test("dd45 density planner: wider bands monotonically shrink candidate mass") {
@@ -105,5 +110,23 @@ class Round10Spec extends SparkSpec {
       val mean = r.getAs[Long]("mean_px_fx")
       assert(mean >= 0L && mean <= 255L * 1000000L)
     }
+  }
+
+  test("bandBits dial: an off-dial conf value fails at read time") {
+    // ADVICE r10: signBandColsFor's require admits 1/2/32, but any
+    // non-{4,8,16} value silently breaks 4-bit oracle parity if set
+    // during a gated lap — the conf read must reject it loudly
+    spark.conf.set("spark.graft.emb.bandBits", "5")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        SparkEntry.queries("dd05_embed_cosine")(spark, sf)
+      }
+      assert(ex.getMessage.contains("legal dial set"))
+      // legal stops still construct
+      graft.operators.Dedup.DialBits.foreach { b =>
+        spark.conf.set("spark.graft.emb.bandBits", b.toString)
+        SparkEntry.queries("dd05_embed_cosine")(spark, sf)
+      }
+    } finally spark.conf.unset("spark.graft.emb.bandBits")
   }
 }

@@ -17,16 +17,25 @@ class ShuffleBudgetSpec extends SparkSpec {
     val path = java.nio.file.Paths.get("docs/SHUFFLES.md")
     assert(java.nio.file.Files.exists(path),
       "docs/SHUFFLES.md missing — run: sbt \"runMain graft.tools.ShuffleProbe\"")
-    val budget = scala.jdk.CollectionConverters.IteratorHasAsScala(
+    // Header-anchored parsing (ADVICE r10): map column NAMES to
+    // indices instead of trusting positional order, so a reordered
+    // SHUFFLES.md fails here rather than silently pinning the
+    // broadcast column as the shuffle budget.
+    val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(
       java.nio.file.Files.lines(path).iterator()).asScala
       .map(_.trim).filter(_.startsWith("| "))
-      .flatMap { l =>
-        l.split("\\|").map(_.trim).filter(_.nonEmpty) match {
-          case Array(name, sh, _) if sh.forall(_.isDigit) =>
-            Some(name -> sh.toInt)
-          case _ => None
-        }
-      }.toMap
+      .map(_.split("\\|").map(_.trim).filter(_.nonEmpty).toSeq)
+      .toSeq
+    val header = rows.headOption.getOrElse(
+      fail("docs/SHUFFLES.md has no table rows"))
+    val opIdx = header.indexOf("operator")
+    val shIdx = header.indexOf("shuffles")
+    assert(opIdx >= 0 && shIdx >= 0,
+      s"docs/SHUFFLES.md header $header lacks operator/shuffles columns")
+    val budget = rows.drop(1)
+      .filter(r => r.size > math.max(opIdx, shIdx) &&
+        r(shIdx).nonEmpty && r(shIdx).forall(_.isDigit))
+      .map(r => r(opIdx) -> r(shIdx).toInt).toMap
     val offenders = graft.tools.ShuffleProbe.batchOps.flatMap { name =>
       budget.get(name) match {
         case None =>

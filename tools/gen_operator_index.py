@@ -91,6 +91,24 @@ for fam, title in FAMILIES:
         out.append(f"| {name} | {titles.get(name, '')} | {loc} |")
     out.append("")
 
-with open(os.path.join(ROOT, "docs", "OPERATORS.md"), "w") as f:
-    f.write("\n".join(out))
-print(f"wrote docs/OPERATORS.md with {len(found)} operators")
+import sys
+target = os.path.join(ROOT, "docs", "OPERATORS.md")
+content = "\n".join(out)
+if "--check" in sys.argv:
+    # gate mode (VERDICT r10 #4): exit 1 if the committed index has
+    # drifted from the sources, same discipline as ShuffleBudgetSpec
+    committed = open(target).read() if os.path.exists(target) else ""
+    if committed != content:
+        import difflib
+        diff = list(difflib.unified_diff(
+            committed.splitlines(), content.splitlines(),
+            "committed", "regenerated", lineterm=""))
+        print("\n".join(diff[:40]))
+        print(f"docs/OPERATORS.md is stale ({len(diff)} diff lines) — "
+              "regenerate: python3 tools/gen_operator_index.py")
+        sys.exit(1)
+    print(f"docs/OPERATORS.md is current ({len(found)} operators)")
+else:
+    with open(target, "w") as f:
+        f.write(content)
+    print(f"wrote docs/OPERATORS.md with {len(found)} operators")

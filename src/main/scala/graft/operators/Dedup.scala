@@ -228,7 +228,19 @@ object Dedup {
     * hotter ones. `banded` should be barrier()-materialized by the
     * caller (it is read three times: stats + two join sides).
     */
-  private[graft] def simhashCandidatePairs(banded: DataFrame): DataFrame = {
+  private[graft] def simhashCandidatePairs(banded: DataFrame): DataFrame =
+    simhashCandidatePairsRaw(banded).distinct()
+
+  /** [[simhashCandidatePairs]] WITHOUT the final distinct — a pair
+    * sharing k kept buckets appears k times. Kept factored for plan
+    * experiments, but measured WORSE as a consumer input at sf10:
+    * letting a downstream aggregate dedup instead means the
+    * pre-distinct pair mass (duplicates per shared band) rides the
+    * consumer's shuffle, and at ladder scale that blew the
+    * shuffle-spill disk budget the distinct'd frame fits. Production
+    * consumers go through the distinct wrapper.
+    */
+  private[graft] def simhashCandidatePairsRaw(banded: DataFrame): DataFrame = {
     val stats = simhashBucketStats(banded)
     val kept = simhashKept(stats)
     val l = banded.select(col("band"), col("bval"),
@@ -245,7 +257,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("hub")) // hub is the bucket min ⇒ hub < doc_id
       .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"),
         col("hub_sh").as("sh_a"), col("simhash").as("sh_b"))
-    keptPairs.union(starPairs).distinct()
+    keptPairs.union(starPairs)
   }
 
   /** Oracle twin of [[simhashCandidatePairs]]: CTE bodies to append
@@ -290,6 +302,12 @@ object Dedup {
   val EmbBands = 16
   val EmbBandBits = 4
   val EmbThreshold = 0.2
+
+  /** The legal stops of spark.graft.emb.bandBits — the widths dd45
+    * prices and dd46 auto-picks. One definition so the planner, the
+    * chooser, and the conf validation cannot drift.
+    */
+  val DialBits: Seq[Int] = Seq(4, 8, 16)
 
   /** Per-band sign values: band j packs the sign bits of dims
     * [j·EmbBandBits, (j+1)·EmbBandBits). Literal indices keep the whole
@@ -336,6 +354,14 @@ object Dedup {
   private[operators] def embCandidates(s: SparkSession, d: String): DataFrame = {
     val bits = s.conf.getOption("spark.graft.emb.bandBits")
       .map(_.toInt).getOrElse(EmbBandBits)
+    // the dial's legal stops only (ADVICE r10): signBandColsFor's own
+    // require also admits 1/2/32, and any non-default value silently
+    // breaks parity with the hard-coded 4-bit DuckDB oracle — fail at
+    // read time, before a gated lap can run on the wrong geometry
+    require(DialBits.contains(bits),
+      s"spark.graft.emb.bandBits=$bits is outside the legal dial set " +
+        DialBits.mkString("{", ", ", "}") +
+        " — oracle laps must leave it unset (4-bit default)")
     val banded = barrier(embBase(s, d)
       .select(col("vec_id"), col("label"),
         posexplode(array(signBandColsFor(col("emb"), bits): _*)))

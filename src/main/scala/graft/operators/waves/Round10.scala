@@ -43,10 +43,12 @@ object Round10 {
     */
   private val PanelSize = 64
 
-  /** dd45: the sign-LSH band widths priced by the density planner
-    * (the legal values of spark.graft.emb.bandBits).
+  /** dd45: the sign-LSH band widths priced by the density planner —
+    * the legal values of spark.graft.emb.bandBits, defined once in
+    * [[Dedup.DialBits]] (the conf read validates against the same
+    * set).
     */
-  private val DialBits = Seq(4, 8, 16)
+  private val DialBits = Dedup.DialBits
 
   /** Per-vector estimated k-occurrence from a hash-ranked query panel
     * of `panelSize` (vec_id, panel_indeg, est_indeg). Public so the
@@ -90,6 +92,31 @@ object Round10 {
       .select(col("vec_id"), col("panel_indeg"), col("est_indeg"))
   }
 
+  /** The dd45 census, shared with dd46's chooser: per dial stop, the
+    * occupied-bucket count, max occupancy, and total candidate-pair
+    * mass Σ C(occ, 2) over (label, band, band_val) buckets — one
+    * occupancy scan per stop, no pair is ever materialized.
+    */
+  def bandDensityCensus(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.barrier(Tables.embeddings(s, d)
+      .select(col("label"),
+        col("embedding").cast("array<double>").as("emb")))
+    DialBits.map { bits =>
+      e.select(lit(bits.toLong).as("band_bits"), col("label"),
+          posexplode(array(Dedup.signBandColsFor(col("emb"), bits): _*)))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_val")
+        .groupBy(col("band_bits"), col("label"), col("band"),
+          col("band_val"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("band_bits"))
+        .agg(count(lit(1)).cast("long").as("n_buckets"),
+          max(col("c")).cast("long").as("max_occupancy"),
+          sum(expr("(c * (c - 1)) div 2")).cast("long")
+            .as("candidate_pairs"))
+    }.reduce(_ unionByName _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- ss40: sampled-query hubness estimator ------------------------
     // Panel = the PanelSize smallest (hash64(vec_id), vec_id) — a
@@ -119,24 +146,7 @@ object Round10 {
     // Same shape as dd17's simhash occupancy audit, swept across the
     // dial instead of pinned to one geometry.
     "dd45_band_density_plan" -> { (s, d) =>
-      val e = Dedup.barrier(Tables.embeddings(s, d)
-        .select(col("label"),
-          col("embedding").cast("array<double>").as("emb")))
-      DialBits.map { bits =>
-        e.select(lit(bits.toLong).as("band_bits"), col("label"),
-            posexplode(array(Dedup.signBandColsFor(col("emb"), bits): _*)))
-          .withColumnRenamed("pos", "band")
-          .withColumnRenamed("col", "band_val")
-          .groupBy(col("band_bits"), col("label"), col("band"),
-            col("band_val"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("band_bits"))
-          .agg(count(lit(1)).cast("long").as("n_buckets"),
-            max(col("c")).cast("long").as("max_occupancy"),
-            sum(expr("(c * (c - 1)) div 2")).cast("long")
-              .as("candidate_pairs"))
-      }.reduce(_ unionByName _)
-        .orderBy(col("band_bits"))
+      bandDensityCensus(s, d).orderBy(col("band_bits"))
     },
 
     // --- mm23: color-PNG decode to pinned BT.601 luminance ------------
@@ -155,6 +165,35 @@ object Round10 {
           col("mean_px_fx"))
         .orderBy(col("source"), col("bands"))
     })
+
+  /** CTE block shared by the dd45/dd46 oracles — ends in `census`
+    * (band_bits, n_buckets, max_occupancy, candidate_pairs), the
+    * literal SQL replay of [[bandDensityCensus]].
+    */
+  def duckBandCensusCtes: String = {
+    val bandSelects = DialBits.map { bits =>
+      (0 until 64 / bits).map { j =>
+        val v = (0 until bits).map(i =>
+          s"CASE WHEN emb[${j * bits + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
+          .mkString(" + ")
+        s"SELECT $bits AS band_bits, label, $j AS band, " +
+          s"CAST($v AS BIGINT) AS band_val FROM e"
+      }.mkString("\n  UNION ALL\n  ")
+    }.mkString("\n  UNION ALL\n  ")
+    s"""e AS (
+       |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |bands AS (
+       |  $bandSelects),
+       |occ AS (
+       |  SELECT band_bits, label, band, band_val, COUNT(*) AS c
+       |  FROM bands GROUP BY 1, 2, 3, 4),
+       |census AS (
+       |  SELECT CAST(band_bits AS BIGINT) AS band_bits,
+       |    CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |    CAST(MAX(c) AS BIGINT) AS max_occupancy,
+       |    CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
+       |  FROM occ GROUP BY 1)""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // same algebra, no bytes: the sampled-panel selection, the P·n
@@ -203,29 +242,10 @@ object Round10 {
     // literal CASE sign sums (duckEmbBands' pattern generalized), one
     // occupancy census — the hash match proves the planner's mass
     // arithmetic, which is what the geometry choice rides on
-    "dd45_band_density_plan" -> {
-      val bandSelects = DialBits.map { bits =>
-        (0 until 64 / bits).map { j =>
-          val v = (0 until bits).map(i =>
-            s"CASE WHEN emb[${j * bits + i + 1}] > 0.0 THEN ${1L << i} ELSE 0 END")
-            .mkString(" + ")
-          s"SELECT $bits AS band_bits, label, $j AS band, " +
-            s"CAST($v AS BIGINT) AS band_val FROM e"
-        }.mkString("\n  UNION ALL\n  ")
-      }.mkString("\n  UNION ALL\n  ")
-      s"""WITH e AS (
-         |  SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |bands AS (
-         |  $bandSelects),
-         |occ AS (
-         |  SELECT band_bits, label, band, band_val, COUNT(*) AS c
-         |  FROM bands GROUP BY 1, 2, 3, 4)
-         |SELECT CAST(band_bits AS BIGINT) AS band_bits,
-         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
-         |  CAST(MAX(c) AS BIGINT) AS max_occupancy,
-         |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS candidate_pairs
-         |FROM occ GROUP BY 1 ORDER BY band_bits""".stripMargin
-    },
+    "dd45_band_density_plan" ->
+      s"""WITH $duckBandCensusCtes
+         |SELECT band_bits, n_buckets, max_occupancy, candidate_pairs
+         |FROM census ORDER BY band_bits""".stripMargin,
 
     // per-parity closed forms: even ids replay mm21's grayscale
     // raster; odd ids replay the BT.601 integer luminance of the

@@ -524,7 +524,10 @@ class PlanAuditSpec extends SparkSpec {
       // ss40 broadcasts the fixed-size hash-ranked query panel
       // (ss19's pattern — P·n, linear in the corpus) plus the 1-row
       // n_corpus × n_panel counts aggregate for the scale-up
-      "ss40_hubness_sampled")
+      "ss40_hubness_sampled",
+      // dd46 crosses dd45's 3-row census with the 1-row corpus-count
+      // aggregate (dd44's pattern) — never data-proportional
+      "dd46_band_autopick")
     // collect every offender before failing — a single assert-per-name
     // loop would hide all offenders after the first
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -16,6 +16,17 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in state-store provider pin (VERDICT r10 #5): lets the
+    // RocksDB production posture run the SAME oracle lap as the
+    // default heap provider. The driver sets no env, so gated laps
+    // are unaffected; `rocksdb` expands to the Spark-shipped class.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      val cls =
+        if (p == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else p
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     new java.io.File(outDir).mkdirs()
     // optional focus list for local iteration (same contract as Bench):
     // SPARK_GRAFT_ONLY=dd07,dd09 dumps just those queries AND restricts

@@ -1,0 +1,96 @@
+package graft.tools
+
+/** Per-query bench regression gate (VERDICT r10 #1).
+  *
+  * Diffs a fresh quiet bench map (the full summary line graft.Bench
+  * writes to SPARK_GRAFT_BENCH_OUT) against a committed artifact of
+  * record (docs/bench_quiet_r10.json), and flags ONLY queries whose
+  * delta exceeds the measured same-day A/B envelope — box-day
+  * variance is the dominant noise term in cross-round comparisons
+  * (r10 measured median 1.12x on UNTOUCHED code vs r9's day, and
+  * same-tree dd11 A/B swings 4.75–5.8 s within an hour), so a raw
+  * diff re-litigates noise every round; this tool encodes the
+  * adjudication rule once.
+  *
+  * A query is a REGRESSION only when BOTH hold:
+  *   - ratio new/old exceeds 1 + envelope (default 0.20, the ±20%
+  *     A/B envelope VERDICT r10 measured on tail queries), AND
+  *   - the absolute delta is ≥ minAbsSec (default 0.40 s): the r10
+  *     evidence shows sub-half-second swings on sub-second queries
+  *     (q62 0.45→0.74, tx39 0.31→0.50) are indistinguishable from
+  *     box noise even at 1.6x ratio.
+  * Improvements are reported symmetrically but never fail the gate.
+  *
+  * Usage: runMain graft.tools.BenchCompare <committed.json> <fresh.json>
+  *          [envelope=0.20] [minAbsSec=0.40]
+  * Prints one JSON verdict line; exits 1 if any regression survives
+  * the envelope (so a gated sbt invocation fails loudly).
+  */
+object BenchCompare {
+
+  final case class Delta(q: String, oldSec: Double, newSec: Double) {
+    def ratio: Double = if (oldSec > 0) newSec / oldSec else Double.NaN
+  }
+
+  /** Extract the `"queries":{"id":sec,...}` map from a bench summary
+    * line. Hand-rolled (the build has no JSON dependency) but total
+    * for the shape Bench itself emits: flat string→number pairs.
+    */
+  def parseQueries(json: String): Map[String, Double] = {
+    val start = json.indexOf("\"queries\":{")
+    require(start >= 0, "no \"queries\" map in bench json")
+    val body = json.substring(start + "\"queries\":{".length)
+    val end = body.indexOf('}')
+    require(end >= 0, "unterminated queries map")
+    val pair = """"([^"]+)":(-?[0-9.]+)""".r
+    pair.findAllMatchIn(body.substring(0, end))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** (regressions, improvements) among common keys with valid times.
+    * -1 entries (failed samples) never adjudicate — they surface in
+    * the `invalid` bucket instead so a silently-failing query cannot
+    * read as a perf win.
+    */
+  def compare(old: Map[String, Double], fresh: Map[String, Double],
+      envelope: Double, minAbsSec: Double)
+      : (Seq[Delta], Seq[Delta], Seq[String]) = {
+    val common = old.keySet.intersect(fresh.keySet).toSeq.sorted
+    val (valid, invalid) = common.partition(q => old(q) > 0 && fresh(q) > 0)
+    val deltas = valid.map(q => Delta(q, old(q), fresh(q)))
+    val reg = deltas.filter(d =>
+      d.ratio > 1.0 + envelope && d.newSec - d.oldSec >= minAbsSec)
+      .sortBy(-_.ratio)
+    val imp = deltas.filter(d =>
+      d.ratio < 1.0 - envelope && d.oldSec - d.newSec >= minAbsSec)
+      .sortBy(_.ratio)
+    (reg, imp, invalid)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchCompare <committed.json> <fresh.json> [envelope] [minAbsSec]")
+    val envelope = args.lift(2).map(_.toDouble).getOrElse(0.20)
+    val minAbs = args.lift(3).map(_.toDouble).getOrElse(0.40)
+    val oldQ = parseQueries(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(args(0))))
+    val newQ = parseQueries(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(args(1))))
+    val (reg, imp, invalid) = compare(oldQ, newQ, envelope, minAbs)
+    def fmt(ds: Seq[Delta]): String = ds.map(d =>
+      s"""{"q":"${d.q}","old":${d.oldSec},"new":${d.newSec},""" +
+        s""""ratio":${math.round(d.ratio * 100) / 100.0}}""")
+      .mkString("[", ",", "]")
+    val nCommon = oldQ.keySet.intersect(newQ.keySet).size
+    val totOld = oldQ.filter(_._2 > 0).values.sum
+    val totNew = newQ.filter(_._2 > 0).values.sum
+    println(
+      s"""{"verdict":"${if (reg.isEmpty) "PASS" else "FAIL"}",""" +
+        s""""n_common":$nCommon,"envelope":$envelope,"min_abs_sec":$minAbs,""" +
+        s""""total_old":${math.round(totOld * 10) / 10.0},""" +
+        s""""total_new":${math.round(totNew * 10) / 10.0},""" +
+        s""""regressions":${fmt(reg)},"improvements":${fmt(imp)},""" +
+        s""""invalid":${invalid.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    if (reg.nonEmpty) sys.exit(1)
+  }
+}

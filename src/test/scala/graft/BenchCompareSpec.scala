@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.BenchCompare
+
+/** The bench-regression adjudication rule, pinned (VERDICT r10 #1).
+  * The comparator is pure arithmetic, so the gate logic gets tested
+  * without running a bench: the r10 evidence cases — phantom
+  * sub-second "regressions" that burned a round of manual
+  * adjudication — must come out NOISE, and a real out-of-envelope
+  * regression must FAIL.
+  */
+class BenchCompareSpec extends AnyFunSuite {
+
+  private val env = 0.20
+  private val minAbs = 0.40
+
+  test("parseQueries reads the map Bench emits") {
+    val line = """{"metric":"total","value":12.3,"unit":"sec",""" +
+      """"queries":{"q1":0.52,"dd11":4.75,"ev48":2.31},"batch":{"sec":1}}"""
+    val q = BenchCompare.parseQueries(line)
+    assert(q === Map("q1" -> 0.52, "dd11" -> 4.75, "ev48" -> 2.31))
+  }
+
+  test("r10's phantom regressions adjudicate as noise") {
+    // q62 0.45→0.74 (1.63x) and tx39 0.31→0.50 (1.62x): ratio is out
+    // of envelope but the absolute delta is sub-0.4 s — box noise on
+    // untouched sub-second queries, the exact class that wasted r10
+    val old = Map("q62" -> 0.45, "tx39" -> 0.31, "dd11" -> 4.75)
+    val fresh = Map("q62" -> 0.74, "tx39" -> 0.50, "dd11" -> 5.20)
+    val (reg, _, _) = BenchCompare.compare(old, fresh, env, minAbs)
+    // dd11 4.75→5.20 is +0.45 s but only 1.09x — inside the envelope
+    assert(reg.isEmpty, s"phantoms flagged: $reg")
+  }
+
+  test("a real out-of-envelope regression fails") {
+    val old = Map("dd33" -> 3.90, "q1" -> 0.50)
+    val fresh = Map("dd33" -> 5.50, "q1" -> 0.49)
+    val (reg, imp, _) = BenchCompare.compare(old, fresh, env, minAbs)
+    assert(reg.map(_.q) === Seq("dd33"))
+    assert(imp.isEmpty)
+  }
+
+  test("improvements report symmetrically but never fail") {
+    val old = Map("ev51" -> 6.81, "ev48" -> 3.67)
+    val fresh = Map("ev51" -> 0.85, "ev48" -> 2.31)
+    val (reg, imp, _) = BenchCompare.compare(old, fresh, env, minAbs)
+    assert(reg.isEmpty)
+    assert(imp.map(_.q).toSet === Set("ev51", "ev48"))
+  }
+
+  test("failed samples (-1) adjudicate as invalid, not as wins") {
+    val old = Map("q5" -> 1.0)
+    val fresh = Map("q5" -> -1.0)
+    val (reg, imp, invalid) = BenchCompare.compare(old, fresh, env, minAbs)
+    assert(reg.isEmpty && imp.isEmpty)
+    assert(invalid === Seq("q5"))
+  }
+
+  test("keys only on one side are ignored (new/retired operators)") {
+    val old = Map("q1" -> 1.0)
+    val fresh = Map("dd46" -> 1.0)
+    val (reg, imp, invalid) = BenchCompare.compare(old, fresh, env, minAbs)
+    assert(reg.isEmpty && imp.isEmpty && invalid.isEmpty)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -87,6 +88,165 @@ object Round11 {
     Tables.embeddings(s, d)
       .agg(count(lit(1)).cast("long").as("n_corpus"))
 
+  // --- wave 2: the other planning loops, closed the same way ------------
+  // dd46 set the pattern: a census operator already prices the dial
+  // (ev74 lateness, pk07/pk19 shard bytes, q37 key skew); the chooser
+  // is pure integer arithmetic over that bounded census, so the oracle
+  // replays the DECISION and the hash match proves what a deployment
+  // would actually set. Each chooser is factored over a census frame
+  // so specs can feed measured censuses without re-running the source.
+
+  /** Watermark dial stops a deployment actually uses (seconds). */
+  val WatermarkDialS = Seq(60L, 300L, 900L, 3600L)
+
+  /** ev82 rule over ev74's census (event_type, n_events, p99_us):
+    * the SHORTEST watermark delay covering p99 lateness (≤1% late
+    * drops — ev23's drop census is the downstream check); delay is
+    * state-store retention (ev75's model prices it), so shorter is
+    * strictly cheaper. If no stop covers p99, the longest stop
+    * minimizes the overshoot — and flags the type as needing a
+    * reorder fix upstream, not a bigger watermark.
+    */
+  def watermarkAutopick(census: DataFrame): DataFrame = {
+    val j = census
+      .withColumn("delay_s", explode(array(WatermarkDialS.map(lit): _*)))
+      .withColumn("within_target",
+        when(col("delay_s") * lit(1000000L) >= col("p99_us"), 1L)
+          .otherwise(0L).cast("long"))
+    // per-type pick over the |dial| = 4-row frame (bounded window,
+    // same partitioning as the census group — no extra shuffle class)
+    val wt = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("chosen_delay",
+        coalesce(
+          min(when(col("within_target") === 1L, col("delay_s"))).over(wt),
+          max(col("delay_s")).over(wt)))
+      .withColumn("chosen",
+        when(col("delay_s") === col("chosen_delay"), 1L)
+          .otherwise(0L).cast("long"))
+      .select(col("event_type"), col("delay_s"), col("n_events"),
+        col("p99_us"), col("within_target"), col("chosen"))
+  }
+
+  /** Shard-size dial stops (MiB): the parquet file-size sweet spot a
+    * lake actually debates. */
+  val ShardDialMiB = Seq(64L, 128L, 256L, 512L)
+
+  /** Minimum output files the pick must preserve: 2× the 32-slot
+    * local profile (on a cluster, 2× total cores — same rule). Fewer
+    * files than slots = idle executors on every downstream scan.
+    */
+  val MinShardFiles = 64L
+
+  /** pk27 rule over a corpus byte census (n_docs, total_chars):
+    * the LARGEST shard size that still yields ≥ MinShardFiles files
+    * (bigger files amortize parquet footer/dictionary overhead and
+    * scan setup; parallelism is the binding floor). If even the
+    * smallest stop can't reach the floor the corpus is too small to
+    * shard — take the smallest stop, which lands closest.
+    */
+  def shardAutopick(census: DataFrame): DataFrame = {
+    val j = census
+      .withColumn("target_mib", explode(array(ShardDialMiB.map(lit): _*)))
+      .withColumn("n_files",
+        greatest(lit(1L),
+          expr("(total_chars + target_mib * 1048576 - 1) div (target_mib * 1048576)")))
+      .withColumn("within_parallel",
+        when(col("n_files") >= lit(MinShardFiles), 1L)
+          .otherwise(0L).cast("long"))
+    // global pick over the 4-row dial frame (single partition by
+    // construction — the census is one aggregate row)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("chosen_mib",
+        coalesce(
+          max(when(col("within_parallel") === 1L, col("target_mib"))).over(all),
+          min(col("target_mib")).over(all)))
+      .withColumn("chosen",
+        when(col("target_mib") === col("chosen_mib"), 1L)
+          .otherwise(0L).cast("long"))
+      .select(col("target_mib"), col("n_docs"), col("total_chars"),
+        col("n_files"), col("within_parallel"), col("chosen"))
+  }
+
+  /** Salt dial stops: replication factors a skew-join actually pays
+    * (the dim side duplicates S×, so the smallest working S wins). */
+  val SaltDial = Seq(1L, 4L, 16L, 64L)
+
+  /** Task slots the salted key must fit (local profile; on a cluster,
+    * total shuffle parallelism) and the headroom multiplier over the
+    * mean partition load a single task may carry. */
+  val TaskSlots = 32L
+  val SkewHeadroomX = 2L
+
+  /** q81 rule over q37's skew census (event_type, n_keys, n_rows,
+    * max_rows): the SMALLEST salt whose hottest key, split S ways,
+    * fits within SkewHeadroomX× the mean per-slot load — q27 showed
+    * salting works, this decides the factor. No stop fitting means
+    * even 64-way splitting leaves a straggler: take the largest stop
+    * (AQE skew-join territory — the flag IS the finding).
+    */
+  def saltAutopick(census: DataFrame): DataFrame = {
+    val j = census
+      .withColumn("salt", explode(array(SaltDial.map(lit): _*)))
+      .withColumn("budget_rows",
+        expr(s"$SkewHeadroomX * ((n_rows + ${TaskSlots - 1}) div $TaskSlots)"))
+      .withColumn("salted_max", expr("(max_rows + salt - 1) div salt"))
+      .withColumn("within_budget",
+        when(col("salted_max") <= col("budget_rows"), 1L)
+          .otherwise(0L).cast("long"))
+    val wt = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("chosen_salt",
+        coalesce(
+          min(when(col("within_budget") === 1L, col("salt"))).over(wt),
+          max(col("salt")).over(wt)))
+      .withColumn("chosen",
+        when(col("salt") === col("chosen_salt"), 1L)
+          .otherwise(0L).cast("long"))
+      .select(col("event_type"), col("salt"), col("n_keys"), col("n_rows"),
+        col("max_rows"), col("budget_rows"), col("salted_max"),
+        col("within_budget"), col("chosen"))
+  }
+
+  /** ev74's lateness census narrowed to the p99 pick the watermark
+    * rule consumes (same frontier/rank construction, one percentile).
+    */
+  private def latenessCensus(s: SparkSession, d: String): DataFrame = {
+    val wa = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"),
+        max(expr("unix_micros(ts)")).over(wa).as("frontier"))
+      .withColumn("late_us", col("frontier") - col("us"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("late_us"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("event_type"))).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_events"),
+        max(when(col("rn") === expr("(n - 1) * 99 div 100 + 1"),
+          col("late_us"))).as("p99_us"))
+  }
+
+  private def byteCensus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      // char count as the byte proxy (`length` agrees across engines;
+      // a lake deployment swaps in octet_length over the raw bytes)
+      sum(length(col("text"))).cast("long").as("total_chars"))
+
+  private def skewCensus(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_keys"),
+        sum(col("c")).cast("long").as("n_rows"),
+        max(col("c")).cast("long").as("max_rows"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dd46: band-geometry autopick ---------------------------------
     // dd45's census + the budget rule, one row per dial stop with the
@@ -95,6 +255,44 @@ object Round11 {
     "dd46_band_autopick" -> { (s, d) =>
       bandAutopick(Round10.bandDensityCensus(s, d), corpusCount(s, d))
         .orderBy(col("band_bits"))
+    },
+
+    // --- ev82: watermark-delay autopick --------------------------------
+    // ev74 measures how late events actually arrive; ev82 turns that
+    // census into the withWatermark() setting per event type — one
+    // dial row per (type, stop) with the winner flagged, the frame a
+    // streaming deployment reads instead of folklore-picking "10
+    // minutes". All lateness windows user-partitioned (ev74's
+    // construction — Spark's real watermark frontier is global, but a
+    // global arrival-order window is a fact-table sort; per-user is
+    // the scalable lower bound on it). The gated corpus arrives
+    // in-order (p99 = 0 at every SF → the shortest stop wins
+    // everywhere); the spec's synthetic censuses carry the covering
+    // and overflow branches. The pick runs over a bounded |types|×4
+    // frame.
+    "ev82_watermark_autopick" -> { (s, d) =>
+      watermarkAutopick(latenessCensus(s, d))
+        .orderBy(col("event_type"), col("delay_s"))
+    },
+
+    // --- pk27: shard-size autopick --------------------------------------
+    // pk07 manifests shards and pk19 prices write amplification; pk27
+    // decides the target file size: largest stop that keeps the file
+    // count above the parallelism floor. One aggregate over the corpus,
+    // then arithmetic on a 4-row dial — the 100 TB posture is the same
+    // rule with the cluster's core count as the floor.
+    "pk27_shard_size_autopick" -> { (s, d) =>
+      shardAutopick(byteCensus(s, d)).orderBy(col("target_mib"))
+    },
+
+    // --- q81: skew-salt autopick ----------------------------------------
+    // q37 measures per-type key skew and q27 demonstrates the salted
+    // join; q81 picks the salt factor — smallest S whose hottest key,
+    // split S ways, fits 2× the mean slot load. The census is two
+    // hash aggregates (key counts, then per-type max); the dial is
+    // arithmetic on |types| rows.
+    "q81_salt_autopick" -> { (s, d) =>
+      saltAutopick(skewCensus(s, d)).orderBy(col("event_type"), col("salt"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -118,5 +316,94 @@ object Round11 {
          |    MIN(CASE WHEN within_budget = 1 THEN band_bits END) OVER (),
          |    MAX(band_bits) OVER ()) THEN 1 ELSE 0 END
          |    AS BIGINT) AS chosen
-         |FROM j ORDER BY band_bits""".stripMargin)
+         |FROM j ORDER BY band_bits""".stripMargin,
+
+    // ev74's lateness CTEs verbatim (frontier / rank-pick p99), then
+    // the dial VALUES join and the per-type COALESCE(MIN-within, MAX)
+    // pick replay the chooser literally
+    "ev82_watermark_autopick" ->
+      s"""WITH l AS (
+         |  SELECT event_id, event_type,
+         |    MAX(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      - epoch_us(ts) AS late_us
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         |r AS (
+         |  SELECT event_type, late_us, event_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY late_us, event_id) AS BIGINT) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM l),
+         |c AS (
+         |  SELECT event_type, MAX(n) AS n_events,
+         |    MAX(CASE WHEN rn = (n - 1) * 99 // 100 + 1
+         |      THEN late_us END) AS p99_us
+         |  FROM r GROUP BY 1),
+         |st AS (SELECT CAST(delay_s AS BIGINT) AS delay_s
+         |  FROM (VALUES (${WatermarkDialS.mkString("),(")})) AS t(delay_s)),
+         |j AS (
+         |  SELECT c.event_type, st.delay_s, c.n_events, c.p99_us,
+         |    CAST(CASE WHEN st.delay_s * 1000000 >= c.p99_us
+         |      THEN 1 ELSE 0 END AS BIGINT) AS within_target
+         |  FROM c CROSS JOIN st)
+         |SELECT event_type, delay_s, n_events, p99_us, within_target,
+         |  CAST(CASE WHEN delay_s = COALESCE(
+         |    MIN(CASE WHEN within_target = 1 THEN delay_s END)
+         |      OVER (PARTITION BY event_type),
+         |    MAX(delay_s) OVER (PARTITION BY event_type))
+         |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM j ORDER BY event_type, delay_s""".stripMargin,
+
+    "pk27_shard_size_autopick" ->
+      s"""WITH c AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+         |  FROM documents),
+         |st AS (SELECT CAST(target_mib AS BIGINT) AS target_mib
+         |  FROM (VALUES (${ShardDialMiB.mkString("),(")})) AS t(target_mib)),
+         |j AS (
+         |  SELECT st.target_mib, c.n_docs, c.total_chars,
+         |    GREATEST(CAST(1 AS BIGINT),
+         |      CAST((c.total_chars + st.target_mib * 1048576 - 1)
+         |        // (st.target_mib * 1048576) AS BIGINT)) AS n_files
+         |  FROM c CROSS JOIN st),
+         |f AS (
+         |  SELECT *, CAST(CASE WHEN n_files >= $MinShardFiles
+         |    THEN 1 ELSE 0 END AS BIGINT) AS within_parallel FROM j)
+         |SELECT target_mib, n_docs, total_chars, n_files, within_parallel,
+         |  CAST(CASE WHEN target_mib = COALESCE(
+         |    MAX(CASE WHEN within_parallel = 1 THEN target_mib END) OVER (),
+         |    MIN(target_mib) OVER ()) THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM f ORDER BY target_mib""".stripMargin,
+
+    "q81_salt_autopick" ->
+      s"""WITH pk AS (
+         |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |c AS (
+         |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |    CAST(SUM(c) AS BIGINT) AS n_rows,
+         |    CAST(MAX(c) AS BIGINT) AS max_rows
+         |  FROM pk GROUP BY 1),
+         |st AS (SELECT CAST(salt AS BIGINT) AS salt
+         |  FROM (VALUES (${SaltDial.mkString("),(")})) AS t(salt)),
+         |j AS (
+         |  SELECT c.event_type, st.salt, c.n_keys, c.n_rows, c.max_rows,
+         |    CAST($SkewHeadroomX * ((c.n_rows + ${TaskSlots - 1})
+         |      // $TaskSlots) AS BIGINT) AS budget_rows,
+         |    CAST((c.max_rows + st.salt - 1) // st.salt AS BIGINT)
+         |      AS salted_max
+         |  FROM c CROSS JOIN st),
+         |f AS (
+         |  SELECT *, CAST(CASE WHEN salted_max <= budget_rows
+         |    THEN 1 ELSE 0 END AS BIGINT) AS within_budget FROM j)
+         |SELECT event_type, salt, n_keys, n_rows, max_rows, budget_rows,
+         |  salted_max, within_budget,
+         |  CAST(CASE WHEN salt = COALESCE(
+         |    MIN(CASE WHEN within_budget = 1 THEN salt END)
+         |      OVER (PARTITION BY event_type),
+         |    MAX(salt) OVER (PARTITION BY event_type))
+         |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM f ORDER BY event_type, salt""".stripMargin)
 }

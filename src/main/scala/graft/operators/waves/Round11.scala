@@ -209,6 +209,71 @@ object Round11 {
         col("within_budget"), col("chosen"))
   }
 
+  /** Shuffle-partition dial stops: the values a deployment actually
+    * tries (192 is the one the sf10 ladder landed on). */
+  val PartitionDial = Seq(32L, 64L, 128L, 192L, 256L)
+
+  /** Per-partition byte target: Spark's own AQE advisory partition
+    * size default (64 MiB) — the sort/spill headroom the ladder's
+    * OOM cliff was about. */
+  val PartitionTargetBytes = 64L * 1048576L
+
+  /** q82 rule over a per-table byte census (tbl, n_rows, est_bytes):
+    * the SMALLEST dial stop covering max(TaskSlots, ceil(largest
+    * table / 64 MiB)) — fewer partitions than slots idles cores,
+    * more than needed pays scheduler + tiny-file overhead; the
+    * largest stop (flagged) when even 256 can't keep partitions
+    * under target. Prices RAW table bytes: expansion-heavy operators
+    * (the dd11 shingle sort that hit the original cliff) multiply by
+    * their expansion factor on top — dd45 prices that lane.
+    */
+  def partitionAutopick(census: DataFrame): DataFrame = {
+    val m = census.agg(max(col("est_bytes")).cast("long").as("max_bytes"))
+      .withColumn("needed_parts",
+        greatest(lit(TaskSlots),
+          expr(s"(max_bytes + ${PartitionTargetBytes - 1}) div $PartitionTargetBytes")))
+    val j = m.withColumn("parts", explode(array(PartitionDial.map(lit): _*)))
+      .withColumn("within_stop",
+        when(col("parts") >= col("needed_parts"), 1L)
+          .otherwise(0L).cast("long"))
+    // global pick over the 5-row dial frame (census folds to 1 row)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    j.withColumn("chosen_parts",
+        coalesce(
+          min(when(col("within_stop") === 1L, col("parts"))).over(all),
+          max(col("parts")).over(all)))
+      .withColumn("chosen",
+        when(col("parts") === col("chosen_parts"), 1L)
+          .otherwise(0L).cast("long"))
+      .select(col("parts"), col("max_bytes"), col("needed_parts"),
+        col("within_stop"), col("chosen"))
+  }
+
+  /** In-memory byte estimate per fact table: 8 bytes per fixed-width
+    * column (ints/doubles/timestamps) + LENGTH of each string column
+    * — the same arithmetic both engines can run exactly. One 1-row
+    * aggregate per table, unioned (4 rows total).
+    */
+  private def tableByteCensus(s: SparkSession, d: String): DataFrame = {
+    def est(df: DataFrame, tbl: String, fixed: Int,
+        strs: Seq[String]): DataFrame = {
+      val rowBytes = strs.map(c => length(col(c)).cast("long"))
+        .foldLeft(lit(fixed.toLong))(_ + _)
+      df.agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(rowBytes).cast("long").as("est_bytes"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("est_bytes"))
+    }
+    est(Tables.lineitem(s, d), "lineitem", 72,
+        Seq("l_returnflag", "l_linestatus"))
+      .unionByName(est(Tables.orders(s, d), "orders", 32,
+        Seq("o_orderstatus", "o_orderpriority")))
+      .unionByName(est(Tables.events(s, d), "events", 32,
+        Seq("event_type", "props")))
+      .unionByName(est(Tables.documents(s, d), "documents", 16,
+        Seq("text", "lang", "source")))
+  }
+
   /** ev74's lateness census narrowed to the p99 pick the watermark
     * rule consumes (same frontier/rank construction, one percentile).
     */
@@ -293,6 +358,18 @@ object Round11 {
     // arithmetic on |types| rows.
     "q81_salt_autopick" -> { (s, d) =>
       saltAutopick(skewCensus(s, d)).orderBy(col("event_type"), col("salt"))
+    },
+
+    // --- q82: shuffle-partition autopick --------------------------------
+    // The dial the sf10 ladder's first cliff was about (dd11/dd33
+    // sorts OOM'd at 32 partitions; the fix was an env dial) — now a
+    // chooser: per-table in-memory byte estimate (4 one-row
+    // aggregates), then the smallest stop keeping the largest table's
+    // partitions under Spark's 64 MiB advisory target without
+    // dropping below the slot count. Raw bytes only; expansion-heavy
+    // lanes (shingles) multiply on top, priced by dd45.
+    "q82_partition_autopick" -> { (s, d) =>
+      partitionAutopick(tableByteCensus(s, d)).orderBy(col("parts"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -405,5 +482,37 @@ object Round11 {
          |      OVER (PARTITION BY event_type),
          |    MAX(salt) OVER (PARTITION BY event_type))
          |    THEN 1 ELSE 0 END AS BIGINT) AS chosen
-         |FROM f ORDER BY event_type, salt""".stripMargin)
+         |FROM f ORDER BY event_type, salt""".stripMargin,
+
+    "q82_partition_autopick" ->
+      s"""WITH census AS (
+         |  SELECT CAST(SUM(72 + LENGTH(l_returnflag)
+         |    + LENGTH(l_linestatus)) AS BIGINT) AS est_bytes FROM lineitem
+         |  UNION ALL
+         |  SELECT CAST(SUM(32 + LENGTH(o_orderstatus)
+         |    + LENGTH(o_orderpriority)) AS BIGINT) FROM orders
+         |  UNION ALL
+         |  SELECT CAST(SUM(32 + LENGTH(event_type)
+         |    + LENGTH(props)) AS BIGINT) FROM events
+         |  UNION ALL
+         |  SELECT CAST(SUM(16 + LENGTH(text) + LENGTH(lang)
+         |    + LENGTH(source)) AS BIGINT) FROM documents),
+         |m AS (
+         |  SELECT CAST(MAX(est_bytes) AS BIGINT) AS max_bytes,
+         |    GREATEST(CAST($TaskSlots AS BIGINT),
+         |      CAST((MAX(est_bytes) + ${PartitionTargetBytes - 1})
+         |        // $PartitionTargetBytes AS BIGINT)) AS needed_parts
+         |  FROM census),
+         |st AS (SELECT CAST(parts AS BIGINT) AS parts
+         |  FROM (VALUES (${PartitionDial.mkString("),(")})) AS t(parts)),
+         |j AS (
+         |  SELECT st.parts, m.max_bytes, m.needed_parts,
+         |    CAST(CASE WHEN st.parts >= m.needed_parts
+         |      THEN 1 ELSE 0 END AS BIGINT) AS within_stop
+         |  FROM m CROSS JOIN st)
+         |SELECT parts, max_bytes, needed_parts, within_stop,
+         |  CAST(CASE WHEN parts = COALESCE(
+         |    MIN(CASE WHEN within_stop = 1 THEN parts END) OVER (),
+         |    MAX(parts) OVER ()) THEN 1 ELSE 0 END AS BIGINT) AS chosen
+         |FROM j ORDER BY parts""".stripMargin)
 }

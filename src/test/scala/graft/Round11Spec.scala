@@ -163,4 +163,33 @@ class Round11Spec extends SparkSpec {
       }
     }
   }
+
+  test("q82 partition autopick: smallest stop covering the byte need") {
+    import spark.implicits._
+    // 10 GiB largest table → ceil(10240/64) = 160 partitions needed →
+    // 192 is the smallest covering stop (the value the sf10 ladder
+    // used); a tiny table clamps to the 32-slot floor; 40 GiB needs
+    // 640 → nothing covers, largest stop flagged
+    def census(bytes: Long) =
+      Seq(("t", 1L, bytes)).toDF("tbl", "n_rows", "est_bytes")
+    val picked = Round11.partitionAutopick(census(10L * 1024 * 1048576))
+      .filter(col("chosen") === 1L).collect()
+    assert(picked.map(_.getAs[Long]("parts")).toSeq === Seq(192L))
+    assert(picked.head.getAs[Long]("needed_parts") === 160L)
+    val small = Round11.partitionAutopick(census(1048576L))
+      .filter(col("chosen") === 1L).collect()
+    assert(small.map(_.getAs[Long]("parts")).toSeq === Seq(32L))
+    val giant = Round11.partitionAutopick(census(40L * 1024 * 1048576))
+      .filter(col("chosen") === 1L).collect()
+    assert(giant.map(_.getAs[Long]("parts")).toSeq === Seq(256L))
+    assert(giant.head.getAs[Long]("within_stop") === 0L)
+    // gated corpus: every fact table is tiny → the slot floor wins
+    val rows = SparkEntry.queries("q82_partition_autopick")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("parts")).sorted.toSeq ===
+      Round11.PartitionDial.sorted)
+    assert(rows.count(_.getAs[Long]("chosen") == 1L) === 1)
+    assert(rows.find(_.getAs[Long]("chosen") == 1L).get
+      .getAs[Long]("parts") === 32L)
+  }
 }

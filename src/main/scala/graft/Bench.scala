@@ -59,24 +59,13 @@ object Bench {
       em.select(graft.functions.DotExpr(col("e"), col("e")).as("d")).agg(sum(col("d"))).count()
     }
     }
-    warmupPass()
-    while (jvmAgeMs < warmupFloorMs) warmupPass()
-    // best-of-3 per query: machine-noise variance between single runs
-    // measured up to 1.6x; the min is the reproducible cost.
-    // Drive with a noop-format write, not count(): count() lets
-    // Catalyst prune the final project, so expression-heavy select
-    // lists would go untimed.
-    // optional focus list for local iteration: SPARK_GRAFT_ONLY=q01,ev13
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.startsWith) }
-      case None => SparkEntry.queries
-    }
     // Load stamp: r4's driver bench ran on a contended box and
     // inflated untouched queries up to 14x, making every perf claim
     // unfalsifiable. Record 1-min system load at start/end plus the
     // count of OTHER jvm processes so a polluted run is self-labeling.
+    // Read BEFORE the warmup floor: 45 s of 32-thread warmup drives
+    // the 1-min average to ~4 all by itself, so a post-warmup reading
+    // mislabels a quiet box as contended (the 06:02 r11 lap did).
     def loadAvg: Double = math.round(
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage * 10) / 10.0
@@ -92,6 +81,20 @@ object Bench {
         }
     }
     val load0 = loadAvg; val jvms0 = otherJvms
+    warmupPass()
+    while (jvmAgeMs < warmupFloorMs) warmupPass()
+    // best-of-3 per query: machine-noise variance between single runs
+    // measured up to 1.6x; the min is the reproducible cost.
+    // Drive with a noop-format write, not count(): count() lets
+    // Catalyst prune the final project, so expression-heavy select
+    // lists would go untimed.
+    // optional focus list for local iteration: SPARK_GRAFT_ONLY=q01,ev13
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       try {

@@ -26,6 +26,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_TUNED=1: let the ENGINE set the scale dials from its
+    // gated censuses (Tuned.session — q82 shuffle partitions, dd46
+    // band geometry) instead of the env overrides above. The ladder's
+    // tuned legs run under this; oracle laps leave it unset.
+    if (sys.env.get("SPARK_GRAFT_TUNED").contains("1")) {
+      val p = graft.operators.Tuned.session(spark, sfDir)
+      println(s"""{"tuned":{"parts":${p.shuffleParts},"bandBits":${p.bandBits},"watermark_s":${p.watermarkDelayS}}}""")
+    }
     // warmup: pay session/IO/codegen one-time costs outside the timings.
     // One pass is NOT enough: JIT compilation of Spark internals keeps
     // inflating timings for the first ~30-60 s of JVM life, which is
@@ -34,11 +42,20 @@ object Bench {
     // "regressions" that dissolved on converged re-samples. Repeat the
     // warmup block until the JVM is ≥ 45 s old so every query's
     // samples start on compiled code.
+    // A typo'd value must degrade to the default, not NumberFormat-
+    // crash the lap before any timing runs (ADVICE r11).
     val warmupFloorMs = sys.env.get("SPARK_GRAFT_WARMUP_MS")
-      .map(_.toLong).getOrElse(45000L)
-    val jvmStart = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getStartTime
-    def jvmAgeMs: Long = System.currentTimeMillis() - jvmStart
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption.orElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_WARMUP_MS='$v' is not a long; using 45000")
+        None
+      }).getOrElse(45000L)
+    // Anchor the floor to the BENCH's own start, not JVM age: inside
+    // an already-old JVM (non-forked runMain, reused test JVM) a
+    // JVM-age floor no-ops after one pass even though the Spark code
+    // paths are freshly loaded and uncompiled (ADVICE r11).
+    val benchStart = System.currentTimeMillis()
+    def warmupElapsedMs: Long = System.currentTimeMillis() - benchStart
     def warmupPass(): Unit = {
     Seq("lineitem", "documents", "embeddings", "events", "orders")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
@@ -82,7 +99,7 @@ object Bench {
     }
     val load0 = loadAvg; val jvms0 = otherJvms
     warmupPass()
-    while (jvmAgeMs < warmupFloorMs) warmupPass()
+    while (warmupElapsedMs < warmupFloorMs) warmupPass()
     // best-of-3 per query: machine-noise variance between single runs
     // measured up to 1.6x; the min is the reproducible cost.
     // Drive with a noop-format write, not count(): count() lets

@@ -151,6 +151,40 @@ object Rank {
     * `name(p)` supplies the output column for percentile p;
     * `maxName` the group maximum of `value`.
     */
+  /** [[exactQuantilesByKey]] restated over a value HISTOGRAM — the
+    * q71/q43/q46 recipe: fold the facts to per-(group, value) counts
+    * first (ONE hash aggregate, map-side combinable), then rank only
+    * the distinct-value table. The rank pick `rn == idx` in the
+    * row-sorted construction equals `MIN(value WHERE cum >= idx)`
+    * over the histogram because equal values are rank-contiguous —
+    * so the output is bit-identical, but no fact stream is ever
+    * sorted: the window's sort width is the per-group DISTINCT value
+    * count, not the row count. Use this whenever the value domain is
+    * materially smaller than the facts (lateness buckets, integer
+    * cents, token counts); keep the row variant when a tiebreak
+    * column must break rank ties for reasons beyond the quantile
+    * value itself (it can't affect the picked value, only plans).
+    */
+  def histQuantilesByKey(df: DataFrame, group: String, value: Column,
+      ps: Seq[Int], name: Int => String, maxName: String): DataFrame = {
+    val hist = df.withColumn("_eq_v", value)
+      .groupBy(col(group), col("_eq_v"))
+      .agg(count(lit(1)).cast("long").as("_eq_c"))
+    val wCum = Window.partitionBy(col(group)).orderBy(col("_eq_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(group))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("_eq_cum", sum(col("_eq_c")).over(wCum).cast("long"))
+      .withColumn("_eq_n", sum(col("_eq_c")).over(wAll).cast("long"))
+    val picks = ps.map(p =>
+      min(when(col("_eq_cum") >= expr(s"((_eq_n - 1) * $p) div 100") + 1L,
+        col("_eq_v"))).as(name(p)))
+    val aggCols = (max(col("_eq_n")).as("n_rows") +: picks) :+
+      max(col("_eq_v")).as(maxName)
+    cum.groupBy(col(group)).agg(aggCols.head, aggCols.tail: _*)
+  }
+
   def exactQuantilesByKey(df: DataFrame, group: String, value: Column,
       tiebreak: Column, ps: Seq[Int], name: Int => String,
       maxName: String): DataFrame = {

@@ -84,7 +84,7 @@ object Round11 {
       .filter(col("chosen") === 1L)
       .select(col("band_bits")).head().getLong(0).toInt
 
-  private def corpusCount(s: SparkSession, d: String): DataFrame =
+  private[operators] def corpusCount(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .agg(count(lit(1)).cast("long").as("n_corpus"))
 
@@ -255,10 +255,14 @@ object Round11 {
     * — the same arithmetic both engines can run exactly. One 1-row
     * aggregate per table, unioned (4 rows total).
     */
-  private def tableByteCensus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def tableByteCensus(s: SparkSession, d: String): DataFrame = {
     def est(df: DataFrame, tbl: String, fixed: Int,
         strs: Seq[String]): DataFrame = {
-      val rowBytes = strs.map(c => length(col(c)).cast("long"))
+      // NULL strings cost 0 bytes but must not null the whole row
+      // expression — without the coalesce a sparse column (events.props
+      // on a null-heavy corpus) silently drops the row's FIXED bytes
+      // from SUM too, undersizing the q82 pick (ADVICE r11).
+      val rowBytes = strs.map(c => coalesce(length(col(c)).cast("long"), lit(0L)))
         .foldLeft(lit(fixed.toLong))(_ + _)
       df.agg(count(lit(1)).cast("long").as("n_rows"),
           sum(rowBytes).cast("long").as("est_bytes"))
@@ -275,35 +279,36 @@ object Round11 {
   }
 
   /** ev74's lateness census narrowed to the p99 pick the watermark
-    * rule consumes (same frontier/rank construction, one percentile).
+    * rule consumes (same frontier construction, one percentile). The
+    * quantile is the HISTOGRAM pick ([[Rank.histQuantilesByKey]]'s
+    * shape): the r11 form ranked every event per type — the last
+    * fact-stream sort in the chooser lane (16.0x wall at 100x data);
+    * folding to per-(type, late_us) counts first bounds the sort at
+    * the distinct lateness values, with bit-identical picks.
     */
-  private def latenessCensus(s: SparkSession, d: String): DataFrame = {
+  private[operators] def latenessCensus(s: SparkSession, d: String): DataFrame = {
     val wa = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
+    val late = Tables.events(s, d)
       .filter(col("user_id").isNotNull && col("event_id").isNotNull)
       .select(col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("us"),
         max(expr("unix_micros(ts)")).over(wa).as("frontier"))
       .withColumn("late_us", col("frontier") - col("us"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
-        .orderBy(col("late_us"), col("event_id"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.partitionBy(col("event_type"))).cast("long"))
-      .groupBy(col("event_type"))
-      .agg(max(col("n")).as("n_events"),
-        max(when(col("rn") === expr("(n - 1) * 99 div 100 + 1"),
-          col("late_us"))).as("p99_us"))
+    Rank.histQuantilesByKey(late, "event_type", col("late_us"),
+        Seq(99), p => s"p${p}_us", "_max_late_us")
+      .select(col("event_type"), col("n_rows").as("n_events"),
+        col("p99_us"))
   }
 
-  private def byteCensus(s: SparkSession, d: String): DataFrame =
+  private[operators] def byteCensus(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).agg(
       count(lit(1)).cast("long").as("n_docs"),
       // char count as the byte proxy (`length` agrees across engines;
       // a lake deployment swaps in octet_length over the raw bytes)
       sum(length(col("text"))).cast("long").as("total_chars"))
 
-  private def skewCensus(s: SparkSession, d: String): DataFrame =
+  private[operators] def skewCensus(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).cast("long").as("c"))
@@ -395,8 +400,9 @@ object Round11 {
          |    AS BIGINT) AS chosen
          |FROM j ORDER BY band_bits""".stripMargin,
 
-    // ev74's lateness CTEs verbatim (frontier / rank-pick p99), then
-    // the dial VALUES join and the per-type COALESCE(MIN-within, MAX)
+    // ev74's lateness CTEs verbatim (frontier / histogram-pick p99 —
+    // the same per-(type, late_us) fold as the Spark side), then the
+    // dial VALUES join and the per-type COALESCE(MIN-within, MAX)
     // pick replay the chooser literally
     "ev82_watermark_autopick" ->
       s"""WITH l AS (
@@ -406,15 +412,19 @@ object Round11 {
          |      - epoch_us(ts) AS late_us
          |  FROM events
          |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type, late_us, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM l GROUP BY 1, 2),
          |r AS (
-         |  SELECT event_type, late_us, event_id,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-         |      ORDER BY late_us, event_id) AS BIGINT) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-         |  FROM l),
+         |  SELECT event_type, late_us,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY late_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM h),
          |c AS (
          |  SELECT event_type, MAX(n) AS n_events,
-         |    MAX(CASE WHEN rn = (n - 1) * 99 // 100 + 1
+         |    MIN(CASE WHEN cum >= (n - 1) * 99 // 100 + 1
          |      THEN late_us END) AS p99_us
          |  FROM r GROUP BY 1),
          |st AS (SELECT CAST(delay_s AS BIGINT) AS delay_s
@@ -486,17 +496,19 @@ object Round11 {
 
     "q82_partition_autopick" ->
       s"""WITH census AS (
-         |  SELECT CAST(SUM(72 + LENGTH(l_returnflag)
-         |    + LENGTH(l_linestatus)) AS BIGINT) AS est_bytes FROM lineitem
+         |  SELECT CAST(SUM(72 + COALESCE(LENGTH(l_returnflag), 0)
+         |    + COALESCE(LENGTH(l_linestatus), 0)) AS BIGINT) AS est_bytes
+         |  FROM lineitem
          |  UNION ALL
-         |  SELECT CAST(SUM(32 + LENGTH(o_orderstatus)
-         |    + LENGTH(o_orderpriority)) AS BIGINT) FROM orders
+         |  SELECT CAST(SUM(32 + COALESCE(LENGTH(o_orderstatus), 0)
+         |    + COALESCE(LENGTH(o_orderpriority), 0)) AS BIGINT) FROM orders
          |  UNION ALL
-         |  SELECT CAST(SUM(32 + LENGTH(event_type)
-         |    + LENGTH(props)) AS BIGINT) FROM events
+         |  SELECT CAST(SUM(32 + COALESCE(LENGTH(event_type), 0)
+         |    + COALESCE(LENGTH(props), 0)) AS BIGINT) FROM events
          |  UNION ALL
-         |  SELECT CAST(SUM(16 + LENGTH(text) + LENGTH(lang)
-         |    + LENGTH(source)) AS BIGINT) FROM documents),
+         |  SELECT CAST(SUM(16 + COALESCE(LENGTH(text), 0)
+         |    + COALESCE(LENGTH(lang), 0)
+         |    + COALESCE(LENGTH(source), 0)) AS BIGINT) FROM documents),
          |m AS (
          |  SELECT CAST(MAX(est_bytes) AS BIGINT) AS max_bytes,
          |    GREATEST(CAST($TaskSlots AS BIGINT),

@@ -91,9 +91,14 @@ object Round7c {
     // actually arrive? Frontier = per-user running max event time in
     // arrival order (event_id); lateness = frontier − event time at
     // arrival. Census per event type: exact p50/p90/p99/max lateness
-    // via integer rank picks (idx = (n−1)·p div 100) — the page that
-    // turns withWatermark("10 minutes") from folklore into a
-    // measured bound. All windows user- or type-partitioned.
+    // via the HISTOGRAM pick (fold to per-(type, late_us) counts, then
+    // MIN value whose cumulative count reaches idx = (n−1)·p div 100
+    // + 1 — bit-identical to the rank pick, q71's recipe) — the page
+    // that turns withWatermark("10 minutes") from folklore into a
+    // measured bound. The r11 shape ranked EVERY event per type
+    // (row_number over the fact stream — the last fact sort in the
+    // chooser lane, 16.0x wall at 100x data); the histogram bounds
+    // the sort at the distinct lateness values per type instead.
     "ev74_lateness_quantiles" -> { (s, d) =>
       val wa = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -103,8 +108,8 @@ object Round7c {
           expr("unix_micros(ts)").as("us"))
         .withColumn("frontier", max(col("us")).over(wa))
         .withColumn("late_us", col("frontier") - col("us"))
-      Rank.exactQuantilesByKey(late, "event_type", col("late_us"),
-          col("event_id"), Percentiles, p => s"p${p}_us", "max_late_us")
+      Rank.histQuantilesByKey(late, "event_type", col("late_us"),
+          Percentiles, p => s"p${p}_us", "max_late_us")
         .withColumnRenamed("n_rows", "n_events")
         .orderBy(col("event_type"))
     },
@@ -223,9 +228,13 @@ object Round7c {
          |    AS mean_state_fx
          |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // histogram restatement mirrors the Spark side: fold to per-(type,
+    // late_us) counts, cumulate over the distinct-value table, pick
+    // MIN(late_us) whose cum reaches the rank index — identical values
+    // to the r11 row-rank form (equal values are rank-contiguous)
     "ev74_lateness_quantiles" -> {
       val pickCols = Percentiles.map(p =>
-        s"MAX(CASE WHEN rn = ((n - 1) * $p) // 100 + 1 THEN late_us END) AS p${p}_us")
+        s"MIN(CASE WHEN cum >= ((n - 1) * $p) // 100 + 1 THEN late_us END) AS p${p}_us")
         .mkString(",\n  ")
       s"""WITH l AS (
          |  SELECT event_id, event_type,
@@ -234,12 +243,16 @@ object Round7c {
          |      - epoch_us(ts) AS late_us
          |  FROM events
          |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+         |h AS (
+         |  SELECT event_type, late_us, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM l GROUP BY 1, 2),
          |r AS (
          |  SELECT event_type, late_us,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
-         |      ORDER BY late_us, event_id) AS BIGINT) AS rn,
-         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-         |  FROM l)
+         |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY late_us
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM h)
          |SELECT event_type, MAX(n) AS n_events,
          |  $pickCols,
          |  MAX(late_us) AS max_late_us

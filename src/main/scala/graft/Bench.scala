@@ -26,6 +26,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // opt-in state-store provider pin (same contract as Verify): lets
+    // the stream lane's ladder legs run under the RocksDB production
+    // posture. Unset = Spark's default heap provider.
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      val cls =
+        if (p == "rocksdb")
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        else p
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     // SPARK_GRAFT_TUNED=1: let the ENGINE set the scale dials from its
     // gated censuses (Tuned.session — q82 shuffle partitions, dd46
     // band geometry) instead of the env overrides above. The ladder's
@@ -123,6 +133,28 @@ object Bench {
         None
       }
     }
+    // Same-day envelope probe (VERDICT r11 #5, opt-in via
+    // SPARK_GRAFT_ENVELOPE_PROBE=1): BenchCompare's regression
+    // envelope was a constant from a hand-measured A/B — fine until
+    // the box or JVM changes. This mode MEASURES the day's noise at
+    // lap start: 5 repeats of 3 designated tail queries (heavy,
+    // batch-lane, historically stable), envelope = the worst
+    // max/min spread among them. BenchCompare's `auto` mode reads it
+    // from the sidecar and takes max(measured, 0.20) — a noisy box
+    // widens the gate instead of flagging phantoms.
+    val envelopeProbe: Option[Double] =
+      if (sys.env.get("SPARK_GRAFT_ENVELOPE_PROBE").contains("1")) {
+        val spreads = EnvelopeProbes.flatMap { p =>
+          SparkEntry.queries.find(_._1.startsWith(p)).flatMap { case (n, f) =>
+            val ts = (1 to 5).flatMap(_ => sample(n, f))
+            if (ts.size >= 2) Some(ts.max / ts.min - 1.0) else None
+          }
+        }
+        if (spreads.nonEmpty) Some(math.round(spreads.max * 1000) / 1000.0)
+        else None
+      } else None
+    envelopeProbe.foreach(e =>
+      println(s"""{"envelope_probe":$e,"probes":"${EnvelopeProbes.mkString(",")}"}"""))
     // sample count override for scale-ladder legs (a 100x corpus pays
     // minutes per sample; one honest run beats three aborted ones)
     val nSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map(_.toInt).getOrElse(3)
@@ -202,9 +234,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"sec":${ms3(ms.map(_._2).sum)},"n":${ms.size},"slowest":$slow}"""
     }
+    val envJson = envelopeProbe.map(e => s""""envelope_probe":$e,""").getOrElse("")
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
-        s""""batch":${laneJson(batchMins)},"stream":${laneJson(streamMins)},""" +
+        s""""batch":${laneJson(batchMins)},"stream":${laneJson(streamMins)},$envJson""" +
         s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}"""
     println(line)
     // Sidecar with the FULL per-query map (VERDICT r9 #1): the driver
@@ -240,6 +273,12 @@ object Bench {
     * Kept explicit — name conventions almost but don't quite cover it
     * (ev53 has no "stream" in its name; ev72's decode is batch).
     */
+  /** The envelope probe's designated tail queries: heavy, batch-lane,
+    * untouched for multiple rounds (their cost is plan-stable), so
+    * repeat spread measures the BOX, not the code. Prefix match.
+    */
+  val EnvelopeProbes: Seq[String] = Seq("ss37", "dd11", "dd08")
+
   val StreamingLane: Set[String] = Set(
     "ev11_stream_stats", "ev19_stream_pipeline", "ev21_stream_dedup",
     "ev28_stream_hourly", "ev38_stream_bursts", "ev42_stream_first_seen",

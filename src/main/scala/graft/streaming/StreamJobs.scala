@@ -116,8 +116,20 @@ object StreamJobs {
     */
   def eventsFileStream(s: SparkSession, d: String): DataFrame = {
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    // Two corpus layouts exist: the driver's testdata has
+    // events.parquet as a single FILE (a file source needs a
+    // directory, so stream the parent with a glob), while
+    // Spark-written corpora (the ScaleData ladder rungs, any lake
+    // deployment) have it as a DIRECTORY of part files — where the
+    // old file-glob matched NOTHING and every downstream stream
+    // silently processed zero events (the r12 sf10 stream legs read
+    // 10M-event corpora in 2 s before this branch).
+    val raw =
+      if (new java.io.File(s"$d/events.parquet").isDirectory)
+        s.readStream.schema(schema).parquet(s"$d/events.parquet")
+      else
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -147,6 +159,29 @@ object StreamJobs {
     * i.e. the SOURCE frame has to be constructed on the clone, which
     * this helper (handed an already-built frame) cannot do.
     */
+  /** State-store footprint of the most recent snapshot run — ladder
+    * instrumentation (VERDICT r11 #4): (state rows, state bytes)
+    * summed over the final progress's stateful operators. Bytes come
+    * from memoryUsedBytes on the heap provider and the RocksDB total
+    * SST size metric under the RocksDB provider (whichever is
+    * larger, since each provider zeroes the other's metric).
+    * Stateless jobs leave the previous value — read it immediately
+    * after the run you're measuring.
+    */
+  @volatile var lastStateMetrics: Option[(Long, Long)] = None
+
+  private def recordStateMetrics(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    for (p <- Option(q.lastProgress); if p.stateOperators.nonEmpty) {
+      val rows = p.stateOperators.map(_.numRowsTotal).sum
+      val bytes = p.stateOperators.map { o =>
+        val rocks = Option(o.customMetrics.get("rocksdbTotalSizeBytes"))
+          .map(_.longValue).getOrElse(0L)
+        math.max(o.memoryUsedBytes, rocks)
+      }.sum
+      lastStateMetrics = Some((rows, bytes))
+    }
+
   def runMemorySnapshot(
       df: DataFrame, name: String, mode: String, stateParts: Int = 4): DataFrame = {
     val s = df.sparkSession
@@ -158,7 +193,7 @@ object StreamJobs {
         .outputMode(mode)
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); recordStateMetrics(q) } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -220,7 +255,7 @@ object StreamJobs {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination() finally q.stop()
+      try { q.awaitTermination(); recordStateMetrics(q) } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // zero-output streams leave no part files — the explicit schema
     // keeps the read valid either way

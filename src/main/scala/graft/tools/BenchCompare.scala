@@ -47,6 +47,30 @@ object BenchCompare {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** The measured same-day envelope a bench lap ran with
+    * SPARK_GRAFT_ENVELOPE_PROBE=1 embeds in its summary line
+    * (worst max/min sample spread of the designated tail probes).
+    */
+  def parseEnvelopeProbe(json: String): Option[Double] = {
+    val probe = """"envelope_probe":(-?[0-9.]+)""".r
+    probe.findFirstMatchIn(json).map(_.group(1).toDouble)
+  }
+
+  /** The floor under any derived envelope: the hand-measured r10 A/B
+    * bound — a measured value NARROWER than this is a lucky probe
+    * run, not a quieter box.
+    */
+  val EnvelopeFloor = 0.20
+
+  /** The `auto` rule (VERDICT r11 #5): use the fresh lap's measured
+    * probe when present, floored at [[EnvelopeFloor]] — so a noisy
+    * box WIDENS the gate instead of flagging phantom regressions,
+    * and a quiet one never tightens below the measured bound.
+    */
+  def deriveEnvelope(freshJson: String): Double =
+    parseEnvelopeProbe(freshJson)
+      .map(m => math.max(m, EnvelopeFloor)).getOrElse(EnvelopeFloor)
+
   /** (regressions, improvements) among common keys with valid times.
     * -1 entries (failed samples) never adjudicate — they surface in
     * the `invalid` bucket instead so a silently-failing query cannot
@@ -69,13 +93,21 @@ object BenchCompare {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: BenchCompare <committed.json> <fresh.json> [envelope] [minAbsSec]")
-    val envelope = args.lift(2).map(_.toDouble).getOrElse(0.20)
+      "usage: BenchCompare <committed.json> <fresh.json> [envelope|auto] [minAbsSec]")
     val minAbs = args.lift(3).map(_.toDouble).getOrElse(0.40)
-    val oldQ = parseQueries(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(args(0))))
-    val newQ = parseQueries(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(args(1))))
+    val oldJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(args(0)))
+    val newJson = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(args(1)))
+    // `auto`: derive the envelope from the fresh lap's own probe
+    // (max(measured, 0.20)) instead of trusting a prior-day constant
+    val envelope = args.lift(2) match {
+      case Some("auto") => deriveEnvelope(newJson)
+      case Some(v) => v.toDouble
+      case None => EnvelopeFloor
+    }
+    val oldQ = parseQueries(oldJson)
+    val newQ = parseQueries(newJson)
     val (reg, imp, invalid) = compare(oldQ, newQ, envelope, minAbs)
     def fmt(ds: Seq[Delta]): String = ds.map(d =>
       s"""{"q":"${d.q}","old":${d.oldSec},"new":${d.newSec},""" +

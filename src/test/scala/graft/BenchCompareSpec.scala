@@ -63,4 +63,43 @@ class BenchCompareSpec extends AnyFunSuite {
     val (reg, imp, invalid) = BenchCompare.compare(old, fresh, env, minAbs)
     assert(reg.isEmpty && imp.isEmpty && invalid.isEmpty)
   }
+
+  test("envelope probe parses from the lap summary line") {
+    val line = """{"metric":"total","value":220.9,"unit":"sec",""" +
+      """"queries":{"q1":0.5},"envelope_probe":0.31,"load":[0.7,3.1]}"""
+    assert(BenchCompare.parseEnvelopeProbe(line) === Some(0.31))
+    assert(BenchCompare.parseEnvelopeProbe("""{"queries":{"q1":0.5}}""")
+      === None)
+  }
+
+  test("auto envelope: noisy box widens the gate, quiet box keeps the floor") {
+    // measured 0.31 > floor -> use the measurement: a 1.25x swing on
+    // an untouched query stops flagging on the day the probes
+    // themselves swung 1.31x
+    val noisy = """{"queries":{"q1":0.5},"envelope_probe":0.31}"""
+    assert(BenchCompare.deriveEnvelope(noisy) === 0.31)
+    // measured 0.07 < floor -> keep 0.20: a lucky probe run must not
+    // tighten the gate below the hand-measured bound
+    val quiet = """{"queries":{"q1":0.5},"envelope_probe":0.07}"""
+    assert(BenchCompare.deriveEnvelope(quiet) === BenchCompare.EnvelopeFloor)
+    // no probe in the lap -> the constant, unchanged behavior
+    assert(BenchCompare.deriveEnvelope("""{"queries":{"q1":0.5}}""") ===
+      BenchCompare.EnvelopeFloor)
+  }
+
+  test("the derived envelope adjudicates the r11 warmup-class phantoms") {
+    // the r11 first mechanical lap flagged 10 early-alphabet queries
+    // at ~1.3-1.5x before the warmup floor landed; on such a day the
+    // probes spread ~1.45x -> derived envelope 0.45 absorbs the class
+    val fresh = Map("dd08" -> 4.9, "q1" -> 0.9)
+    val old = Map("dd08" -> 3.45, "q1" -> 0.85)
+    val envAuto = BenchCompare.deriveEnvelope(
+      """{"queries":{"dd08":4.9},"envelope_probe":0.45}""")
+    val (reg, _, _) = BenchCompare.compare(old, fresh, envAuto, minAbs)
+    assert(reg.isEmpty)
+    // the same diff under the bare floor WOULD flag — the probe is
+    // what tells the two days apart
+    val (regFloor, _, _) = BenchCompare.compare(old, fresh, 0.20, minAbs)
+    assert(regFloor.map(_.q) === Seq("dd08"))
+  }
 }

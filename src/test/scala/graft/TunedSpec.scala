@@ -55,12 +55,14 @@ class TunedSpec extends SparkSpec {
     }
   }
 
-  test("sf10 ladder byte census picks the hand-dialed 128 partitions") {
+  test("sf10 ladder byte census picks the hand-dialed 192 partitions") {
     // the measured 100x census (gates ledger 2026-08-16 04:36): the
-    // largest fact table (lineitem) estimated 4.44 GB -> needed
-    // ceil(4.44e9 / 64 MiB) = 67 parts over the 32-slot floor; the
-    // smallest dial stop covering it is 128 — the value the live sf10
-    // run picked and the ladder ran its re-gated legs under
+    // largest fact table (lineitem) estimated 4.44 GB -> byte-target
+    // count ceil(4.44e9 / 64 MiB) = 67, overshot 2x for AQE headroom
+    // (the r12 A/B: dd33 365-385 s at the exact-target 128 pick vs
+    // 253-286 s at 192, both spill-safe) -> needed 134 -> smallest
+    // covering stop is 192, the dial every sf10 ladder leg measured
+    // fastest under
     import spark.implicits._
     val census = Seq(
       ("lineitem", 60000000L, 4440000000L),
@@ -68,16 +70,16 @@ class TunedSpec extends SparkSpec {
       ("events", 10000000L, 1500000000L),
       ("documents", 500000L, 300000000L))
       .toDF("tbl", "n_rows", "est_bytes")
-    assert(Tuned.pickParts(census) === 128L)
+    assert(Tuned.pickParts(census) === 192L)
   }
 
-  test("a 10 GiB census picks the ladder's 192-partition dial") {
-    // the dial the sf10 OOM fix was run under: ceil(10 GiB / 64 MiB)
-    // = 160 needed -> smallest stop covering is 192
+  test("a census beyond the dial overflows to the largest stop, flagged") {
+    // 10 GiB needs 2*160 = 320 > every stop: take 256 (minimizes the
+    // undershoot) — the within_stop=0 flag is the cluster-resize cue
     import spark.implicits._
     val census = Seq(("fact", 1L, 10L * 1024 * 1024 * 1024))
       .toDF("tbl", "n_rows", "est_bytes")
-    assert(Tuned.pickParts(census) === 192L)
+    assert(Tuned.pickParts(census) === 256L)
   }
 
   test("sf10 ladder band census picks the hand-dialed 16 bits") {

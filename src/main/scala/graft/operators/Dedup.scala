@@ -409,6 +409,17 @@ object Dedup {
     p
   }
 
+  /** Release every live barrier frame NOW (instead of at the next
+    * [[barrier]] call). For callers whose barriered frames are fully
+    * consumed into driver-side values (the Tuned censuses): a
+    * lingering persisted frame occupies the single cache slot and
+    * storage memory a subsequent query wants.
+    */
+  private[operators] def releaseBarriers(): Unit = {
+    var old = liveCaches.poll()
+    while (old != null) { old.unpersist(blocking = false); old = liveCaches.poll() }
+  }
+
   /** A SECOND materialization point in the same query: persists
     * WITHOUT releasing the frames the current query already
     * barriered (calling [[barrier]] twice would unpersist the first

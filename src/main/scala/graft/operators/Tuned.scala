@@ -83,12 +83,21 @@ object Tuned {
 
   /** Compute every pick for a corpus (the bounded censuses run here —
     * a few small jobs, once per session). */
-  def picks(s: SparkSession, d: String): Picks = Picks(
-    shuffleParts = pickParts(Round11.tableByteCensus(s, d)),
-    bandBits = pickBits(Round10.bandDensityCensus(s, d),
-      Round11.corpusCount(s, d)),
-    saltByType = pickSalts(Round11.skewCensus(s, d)),
-    watermarkDelaySByType = pickWatermarks(Round11.latenessCensus(s, d)))
+  def picks(s: SparkSession, d: String): Picks = {
+    val p = Picks(
+      shuffleParts = pickParts(Round11.tableByteCensus(s, d)),
+      bandBits = pickBits(Round10.bandDensityCensus(s, d),
+        Round11.corpusCount(s, d)),
+      saltByType = pickSalts(Round11.skewCensus(s, d)),
+      watermarkDelaySByType = pickWatermarks(Round11.latenessCensus(s, d)))
+    // every pick is a driver-side value now: release the censuses'
+    // barrier frames so the job that follows starts with a clean
+    // cache slot and full storage memory (the r12 diag measured a
+    // decaying first-sample transient on the next heavy query after
+    // census work; lingering persists are the part we can clean)
+    Dedup.releaseBarriers()
+    p
+  }
 
   /** q81's salt for one fact/type, ready for [[Skew.saltedJoin]]'s
     * `salt` argument; falls back to 1 (no salting) for types the

@@ -218,36 +218,30 @@ object Round11 {
     * OOM cliff was about. */
   val PartitionTargetBytes = 64L * 1048576L
 
-  /** Overshoot factor over the exact byte-target count. The initial
-    * shuffle-partition number is a one-sided dial under AQE:
-    * coalescing trims EXCESS partitions at runtime for free, but
-    * nothing can split an undersized sort (skew-join splits only
-    * joins) — Spark's own guidance sets initialPartitionNum above the
-    * steady-state target for exactly this reason. Measured on the r12
-    * sf10 A/B (order-controlled, two runs each): dd33's heavy sorts
-    * run 1.4× SLOWER at the exact-target pick (128 parts: 365/385 s)
-    * than at the 2× pick (192 parts: 253/286 s), both spill-safe —
-    * the exact-target pick leaves the 33M-row shingle sorts in 4
-    * coarse waves on 32 slots where stragglers idle the box.
-    */
-  val AqeOvershoot = 2L
-
   /** q82 rule over a per-table byte census (tbl, n_rows, est_bytes):
-    * the SMALLEST dial stop covering max(TaskSlots, [[AqeOvershoot]] ·
-    * ceil(largest table / 64 MiB)) — fewer partitions than slots
-    * idles cores, undershooting the byte need is the one mistake AQE
-    * cannot fix (see [[AqeOvershoot]]), and the largest stop
-    * (flagged) when even 256 can't cover the need. Prices RAW table
-    * bytes: expansion-heavy operators (the dd11 shingle sort that hit
-    * the original cliff) multiply by their expansion factor on top —
-    * dd45 prices that lane.
+    * the SMALLEST dial stop covering max(TaskSlots, ceil(largest
+    * table / 64 MiB)) — fewer partitions than slots idles cores,
+    * more than needed pays scheduler + tiny-file overhead; the
+    * largest stop (flagged) when even 256 can't keep partitions
+    * under target. Prices RAW table bytes: expansion-heavy operators
+    * (the dd11 shingle sort that hit the original cliff) multiply by
+    * their expansion factor on top — dd45 prices that lane.
+    *
+    * NEGATIVE RESULT (r12, measured — do not redo): a 2× "AQE
+    * overshoot" factor on the byte-target count looked justified when
+    * single-sample sf10 legs showed 128 parts 1.4× slower than 192 —
+    * but those samples were measuring the decaying first-run
+    * transient after same-JVM census work, not the dial. The clean
+    * min-of-2 A/B: 128 parts 215.5 s vs 192 parts 241.2 s (same-dial
+    * sample spread ±50%: 215–367 s) — the exact-target pick is at
+    * least as fast, and any sf10 perf claim needs converged minima,
+    * never a first post-work sample.
     */
   def partitionAutopick(census: DataFrame): DataFrame = {
     val m = census.agg(max(col("est_bytes")).cast("long").as("max_bytes"))
       .withColumn("needed_parts",
         greatest(lit(TaskSlots),
-          expr(s"$AqeOvershoot * ((max_bytes + ${PartitionTargetBytes - 1})" +
-            s" div $PartitionTargetBytes)")))
+          expr(s"(max_bytes + ${PartitionTargetBytes - 1}) div $PartitionTargetBytes")))
     val j = m.withColumn("parts", explode(array(PartitionDial.map(lit): _*)))
       .withColumn("within_stop",
         when(col("parts") >= col("needed_parts"), 1L)
@@ -528,8 +522,8 @@ object Round11 {
          |m AS (
          |  SELECT CAST(MAX(est_bytes) AS BIGINT) AS max_bytes,
          |    GREATEST(CAST($TaskSlots AS BIGINT),
-         |      CAST($AqeOvershoot * ((MAX(est_bytes) + ${PartitionTargetBytes - 1})
-         |        // $PartitionTargetBytes) AS BIGINT)) AS needed_parts
+         |      CAST((MAX(est_bytes) + ${PartitionTargetBytes - 1})
+         |        // $PartitionTargetBytes AS BIGINT)) AS needed_parts
          |  FROM census),
          |st AS (SELECT CAST(parts AS BIGINT) AS parts
          |  FROM (VALUES (${PartitionDial.mkString("),(")})) AS t(parts)),

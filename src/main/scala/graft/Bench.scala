@@ -107,7 +107,24 @@ object Bench {
             } catch { case _: Throwable => false })
         }
     }
-    val load0 = loadAvg; val jvms0 = otherJvms
+    // Direct idle-CPU sample (500 ms over /proc/stat): the 1-min load
+    // average takes minutes to decay, so a leg that starts right
+    // after its OWN chain's previous leg reads load0 ≈ 20 on a box
+    // with 100% idle CPUs and self-labels contended (every r12 sf10
+    // chain leg did). Actual idle fraction at start is the truthful
+    // contention signal; load stays in the stamp for history.
+    def cpuIdleFrac: Double = {
+      def read(): Array[Long] =
+        Files.readAllLines(Paths.get("/proc/stat")).get(0)
+          .split("\\s+").drop(1).map(_.toLong)
+      try {
+        val a = read(); Thread.sleep(500); val b = read()
+        val d = b.zip(a).map { case (x, y) => x - y }
+        val idle = (d(3) + d.lift(4).getOrElse(0L)).toDouble
+        math.round(idle / math.max(d.sum, 1L) * 100) / 100.0
+      } catch { case _: Throwable => -1.0 }
+    }
+    val load0 = loadAvg; val jvms0 = otherJvms; val idle0 = cpuIdleFrac
     warmupPass()
     while (warmupElapsedMs < warmupFloorMs) warmupPass()
     // best-of-3 per query: machine-noise variance between single runs
@@ -229,9 +246,14 @@ object Bench {
     // the exactly-one-sbt-parent launch topology, which mislabels an
     // sbt-server run (two benign JVMs) as contended and a loaded bare
     // spark-submit run (zero other JVMs, load < 2) as quiet (ADVICE r8).
-    val contended = load0 > 2.0
+    // idle0 overrides a decayed-load false positive: ≥80% idle CPU at
+    // start means nothing else is burning cores regardless of what
+    // the (minutes-lagging) load average still reads — every r12 sf10
+    // chain leg self-labeled contended at 100% idle via pure decay.
+    // idle0 < 0 = /proc/stat unreadable → fall back to the load rule.
+    val contended = load0 > 2.0 && (idle0 < 0 || idle0 < 0.8)
     if (contended)
-      println(s"""{"warning":"bench started contended (load=$load0, other jvms=$jvms0): timings are upper bounds, re-run on a quiet box before comparing"}""")
+      println(s"""{"warning":"bench started contended (load=$load0, idle=$idle0, other jvms=$jvms0): timings are upper bounds, re-run on a quiet box before comparing"}""")
     def laneJson(ms: Seq[(String, Double)]): String = {
       val slow = ms.sortBy(-_._2).take(3)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms2(v) }
@@ -242,7 +264,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,""" +
         s""""batch":${laneJson(batchMins)},"stream":${laneJson(streamMins)},$envJson""" +
-        s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}"""
+        s""""load":[$load0,$loadAvg],"idle0":$idle0,"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}"""
     println(line)
     // Sidecar with the FULL per-query map (VERDICT r9 #1): the driver
     // artifact's 2000-char tail can never hold all 333 entries, which
@@ -268,7 +290,7 @@ object Bench {
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n":${mins.size},""" +
         s""""batch":${laneJson(batchMins)},"stream":${laneJson(streamMins)},""" +
         s""""queries":$slowest,"slowest":$slowest,""" +
-        s""""load":[$load0,$loadAvg],"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}""")
+        s""""load":[$load0,$loadAvg],"idle0":$idle0,"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}""")
     spark.stop()
   }
 

@@ -144,7 +144,13 @@ object PlanDump {
     "mm21_png_decode", "mm22_png_resize",
     // round 10: linear sampled hubness (broadcast fixed panel),
     // color-PNG census, density-planner occupancy sweep
-    "ss40_hubness_sampled", "mm23_png_color", "dd45_band_density_plan")
+    "ss40_hubness_sampled", "mm23_png_color", "dd45_band_density_plan",
+    // rounds 11-12: the census→chooser frames (bounded dial windows
+    // over 1-row/3-row/|types|-row censuses) and the histogram-folded
+    // lateness pick (ev74 above shows the same fold)
+    "dd46_band_autopick", "ev82_watermark_autopick",
+    "q81_salt_autopick", "q82_partition_autopick",
+    "pk27_shard_size_autopick")
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")

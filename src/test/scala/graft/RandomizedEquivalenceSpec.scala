@@ -508,4 +508,30 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       docs.unpersist()
     }
   }
+
+  test("histogram quantile picks are bit-identical to the row-rank picks") {
+    // the r12 de-sort claim: MIN(value WHERE cum >= idx) over the
+    // per-(group, value) histogram equals the value at rank idx in
+    // the row-sorted construction, for every group and percentile —
+    // on random data with heavy ties and skewed group sizes (ties are
+    // the case that matters: rank-contiguity of equal values is the
+    // whole argument)
+    val ps = Seq(1, 25, 50, 90, 99)
+    for (seed <- Seq(3, 11, 77)) {
+      val rnd = new Random(seed)
+      val rows = (0 until 3000).map { i =>
+        val g = s"g${rnd.nextInt(7)}"
+        // small value domain -> many ties; one group gets a wide domain
+        val v = if (g == "g0") rnd.nextInt(2000).toLong else rnd.nextInt(13).toLong
+        (g, v, i.toLong)
+      }.toDF("grp", "v", "id")
+      val byRank = graft.operators.Rank.exactQuantilesByKey(
+        rows, "grp", col("v"), col("id"), ps, p => s"p$p", "vmax")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val byHist = graft.operators.Rank.histQuantilesByKey(
+        rows, "grp", col("v"), ps, p => s"p$p", "vmax")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(byHist === byRank, s"seed=$seed")
+    }
+  }
 }

@@ -163,11 +163,14 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_ENVELOPE_PROBE").contains("1")) {
         val spreads = EnvelopeProbes.flatMap { p =>
           SparkEntry.queries.find(_._1.startsWith(p)).flatMap { case (n, f) =>
-            // drop each probe's FIRST sample: it is the tail of JIT
+            // drop each probe's FIRST ATTEMPT: it is the tail of JIT
             // convergence (the r12 first probe read 1.81x spread, all
             // of it sample-1), not box noise — the envelope wants the
-            // repeat spread of CONVERGED samples
-            val ts = (1 to 5).flatMap(_ => sample(n, f)).drop(1)
+            // repeat spread of CONVERGED samples. Drop the slot BEFORE
+            // flattening (ADVICE r12): with flatMap(...).drop(1) a
+            // FAILED first attempt (sample = None) would shift the
+            // drop onto a converged sample and keep the JIT tail.
+            val ts = (1 to 5).map(_ => sample(n, f)).drop(1).flatten
             if (ts.size >= 2) Some(ts.max / ts.min - 1.0) else None
           }
         }

@@ -164,10 +164,19 @@ object Rank {
     * cents, token counts); keep the row variant when a tiebreak
     * column must break rank ties for reasons beyond the quantile
     * value itself (it can't affect the picked value, only plans).
+    *
+    * NULL `value` rows are dropped here (ADVICE r12): the row-rank
+    * construction COUNTS nulls (row_number sorts them first and the
+    * pick index can land on one), while the histogram's
+    * `min(when(...))` skips the null bucket — so the bit-identity
+    * only holds on non-null input. Filtering inside makes the helper
+    * total: hist(df) ≡ exact(df.filter(value.isNotNull)), which the
+    * randomized equivalence spec pins with a null-bearing case.
     */
   def histQuantilesByKey(df: DataFrame, group: String, value: Column,
       ps: Seq[Int], name: Int => String, maxName: String): DataFrame = {
     val hist = df.withColumn("_eq_v", value)
+      .filter(col("_eq_v").isNotNull)
       .groupBy(col(group), col("_eq_v"))
       .agg(count(lit(1)).cast("long").as("_eq_c"))
     val wCum = Window.partitionBy(col(group)).orderBy(col("_eq_v"))

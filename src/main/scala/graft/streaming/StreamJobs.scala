@@ -124,8 +124,17 @@ object StreamJobs {
     // old file-glob matched NOTHING and every downstream stream
     // silently processed zero events (the r12 sf10 stream legs read
     // 10M-event corpora in 2 s before this branch).
+    // Layout is resolved through Hadoop's FileSystem, not java.io.File
+    // (ADVICE r12): File.isDirectory only answers for the LOCAL fs, so
+    // an HDFS/S3 corpus would fall to the glob branch and reintroduce
+    // the silent zero-event bug on exactly the deployments the branch
+    // exists for.
+    val evPath = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val isDir = evPath
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(evPath).isDirectory
     val raw =
-      if (new java.io.File(s"$d/events.parquet").isDirectory)
+      if (isDir)
         s.readStream.schema(schema).parquet(s"$d/events.parquet")
       else
         s.readStream.schema(schema)
@@ -170,12 +179,27 @@ object StreamJobs {
     */
   @volatile var lastStateMetrics: Option[(Long, Long)] = None
 
+  /** The RocksDB provider's SST-footprint custom metric in the pinned
+    * Spark. RocksDbStateSpec asserts this name against
+    * `RocksDBStateStoreProvider.supportedCustomMetrics` so a metric
+    * rename in a Spark upgrade fails a test instead of silently
+    * zeroing the ladder's state_bytes (ADVICE r12).
+    */
+  val RocksSstMetric = "rocksdbSstFileSize"
+
   private def recordStateMetrics(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     for (p <- Option(q.lastProgress); if p.stateOperators.nonEmpty) {
       val rows = p.stateOperators.map(_.numRowsTotal).sum
       val bytes = p.stateOperators.map { o =>
-        val rocks = Option(o.customMetrics.get("rocksdbTotalSizeBytes"))
+        // "rocksdbSstFileSize" is the provider's SST-footprint metric
+        // in the pinned Spark (ADVICE r12: the previously-read
+        // "rocksdbTotalSizeBytes" does not exist in 4.1.2, so the
+        // RocksDB branch always yielded 0 and state_bytes silently
+        // fell back to memoryUsedBytes). StateMetricsSpec asserts the
+        // key against RocksDBStateStoreProvider.supportedCustomMetrics
+        // so a rename in a future Spark fails a test, not a ledger.
+        val rocks = Option(o.customMetrics.get(RocksSstMetric))
           .map(_.longValue).getOrElse(0L)
         math.max(o.memoryUsedBytes, rocks)
       }.sum

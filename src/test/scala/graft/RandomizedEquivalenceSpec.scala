@@ -534,4 +534,31 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(byHist === byRank, s"seed=$seed")
     }
   }
+
+  test("histogram quantiles define null handling: drop nulls, equal the null-filtered row-rank picks") {
+    // ADVICE r12: row_number counts nulls (sorted first) while the
+    // histogram's min(when(...)) skips the null bucket, so the
+    // bit-identity contract is hist(df) == exact(df WHERE v IS NOT
+    // NULL). histQuantilesByKey now filters nulls internally; this
+    // pins that defined behavior on random null-bearing data.
+    val ps = Seq(1, 25, 50, 90, 99)
+    for (seed <- Seq(5, 42)) {
+      val rnd = new Random(seed)
+      val rows = (0 until 2500).map { i =>
+        val g = s"g${rnd.nextInt(5)}"
+        // ~20% nulls, tie-heavy domain
+        val v: java.lang.Long =
+          if (rnd.nextInt(5) == 0) null else Long.box(rnd.nextInt(11).toLong)
+        (g, v, i.toLong)
+      }.toDF("grp", "v", "id")
+      val byRankNoNull = graft.operators.Rank.exactQuantilesByKey(
+        rows.filter(col("v").isNotNull), "grp", col("v"), col("id"),
+        ps, p => s"p$p", "vmax")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      val byHist = graft.operators.Rank.histQuantilesByKey(
+        rows, "grp", col("v"), ps, p => s"p$p", "vmax")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      assert(byHist === byRankNoNull, s"seed=$seed")
+    }
+  }
 }

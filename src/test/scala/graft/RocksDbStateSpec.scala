@@ -59,6 +59,25 @@ class RocksDbStateSpec extends SparkSpec {
     assert(Class.forName(Rocks) != null)
   }
 
+  test("the SST-footprint metric key exists in this Spark's RocksDB provider") {
+    // ADVICE r12: recordStateMetrics once read "rocksdbTotalSizeBytes",
+    // which does not exist in the pinned Spark — the RocksDB branch
+    // always yielded 0 and state_bytes silently fell back to
+    // memoryUsedBytes. Pin the key against the provider's own
+    // declared metric list so a rename fails HERE, not in a ledger.
+    // the provider class is package-private to Spark at the Scala
+    // level — go through java reflection (same loadability the
+    // providerClass conf itself relies on)
+    val cls = Class.forName(Rocks)
+    val inst = cls.getDeclaredConstructor().newInstance()
+    val metrics = cls.getMethod("supportedCustomMetrics").invoke(inst)
+      .asInstanceOf[Seq[AnyRef]]
+    val names = metrics.map(m =>
+      m.getClass.getMethod("name").invoke(m).asInstanceOf[String])
+    assert(names.contains(graft.streaming.StreamJobs.RocksSstMetric),
+      s"provider metrics: ${names.sorted.mkString(", ")}")
+  }
+
   test("ev46 stream compaction is provider-independent (dedup state)") {
     val default = Round6k.queries("ev46_stream_compact")(spark, sf)
       .collect().map(_.toSeq).toSeq

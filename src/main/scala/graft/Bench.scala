@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** The bench session contract, factored out so BenchCompare's
+    * focused recheck (VERDICT r12 #1) measures under EXACTLY the lap
+    * contract — same extensions, dials, and env pins — instead of a
+    * hand-replicated session that drifts from this one.
+    */
+  def buildSession(cpus: String): SparkSession = {
     // Spill-aware partition sizing (the 100 TB knob): cpus partitions
     // is right when each holds a memory-sized slice, but a scale-
     // ladder corpus at the SAME partition count concentrates 100x the
@@ -36,6 +40,72 @@ object Bench {
         else p
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
     }
+    spark
+  }
+
+  /** One timed run of a query under the bench contract: a noop-format
+    * write (count() lets Catalyst prune expression-heavy select
+    * lists), None on failure so a failed run's time-to-failure never
+    * becomes the min.
+    */
+  def sampleQuery(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Option[Double] = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Some((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      None
+    }
+  }
+
+  /** The warmup contract: repeat the IO/codegen/JIT warmup block
+    * until `floorMs` has elapsed from THIS call (not JVM age — inside
+    * an already-old JVM a JVM-age floor no-ops after one pass even
+    * though the Spark paths are freshly loaded; ADVICE r11).
+    */
+  def warmupLoop(spark: SparkSession, sfDir: String, floorMs: Long): Unit = {
+    val start = System.currentTimeMillis()
+    def pass(): Unit = {
+      Seq("lineitem", "documents", "embeddings", "events", "orders")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      locally {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        spark.range(1000).select(col("id"), graft.functions.Hashing.hash64(col("id").cast("string")).as("h"))
+          .withColumn("rn", row_number().over(Window.partitionBy(col("id") % 7).orderBy(col("h"))))
+          .groupBy(col("rn")).agg(sum(col("h"))).orderBy(col("rn")).count()
+        // warm the text/vector paths (regexp + md5 + explode + dot)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+        docs.select(graft.functions.Hashing.hash64(
+            lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
+            explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .groupBy(col("fp")).agg(count(col("tok"))).orderBy(col("fp")).count()
+        val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+          .select(col("embedding").cast("array<double>").as("e"))
+        em.select(graft.functions.DotExpr(col("e"), col("e")).as("d")).agg(sum(col("d"))).count()
+      }
+    }
+    pass()
+    while (System.currentTimeMillis() - start < floorMs) pass()
+  }
+
+  /** SPARK_GRAFT_WARMUP_MS with the typo-safe default (ADVICE r11):
+    * a non-numeric value degrades to 45000, never crashes the lap.
+    */
+  def warmupFloorMsFromEnv: Long = sys.env.get("SPARK_GRAFT_WARMUP_MS")
+    .flatMap(v => scala.util.Try(v.trim.toLong).toOption.orElse {
+      System.err.println(
+        s"[bench] SPARK_GRAFT_WARMUP_MS='$v' is not a long; using 45000")
+      None
+    }).getOrElse(45000L)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = buildSession(cpus)
     // SPARK_GRAFT_TUNED=1: let the ENGINE set the scale dials from its
     // gated censuses (Tuned.session — q82 shuffle partitions, dd46
     // band geometry) instead of the env overrides above. The ladder's
@@ -50,42 +120,9 @@ object Bench {
     // exactly the first ~10 alphabetical queries of a full lap — both
     // the r10 and r11 cross-round comparisons flagged early-lap dd*
     // "regressions" that dissolved on converged re-samples. Repeat the
-    // warmup block until the JVM is ≥ 45 s old so every query's
-    // samples start on compiled code.
-    // A typo'd value must degrade to the default, not NumberFormat-
-    // crash the lap before any timing runs (ADVICE r11).
-    val warmupFloorMs = sys.env.get("SPARK_GRAFT_WARMUP_MS")
-      .flatMap(v => scala.util.Try(v.trim.toLong).toOption.orElse {
-        System.err.println(
-          s"[bench] SPARK_GRAFT_WARMUP_MS='$v' is not a long; using 45000")
-        None
-      }).getOrElse(45000L)
-    // Anchor the floor to the BENCH's own start, not JVM age: inside
-    // an already-old JVM (non-forked runMain, reused test JVM) a
-    // JVM-age floor no-ops after one pass even though the Spark code
-    // paths are freshly loaded and uncompiled (ADVICE r11).
-    val benchStart = System.currentTimeMillis()
-    def warmupElapsedMs: Long = System.currentTimeMillis() - benchStart
-    def warmupPass(): Unit = {
-    Seq("lineitem", "documents", "embeddings", "events", "orders")
-      .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
-    locally {
-      import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.expressions.Window
-      spark.range(1000).select(col("id"), graft.functions.Hashing.hash64(col("id").cast("string")).as("h"))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("id") % 7).orderBy(col("h"))))
-        .groupBy(col("rn")).agg(sum(col("h"))).orderBy(col("rn")).count()
-      // warm the text/vector paths (regexp + md5 + explode + dot)
-      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-      docs.select(graft.functions.Hashing.hash64(
-          lower(regexp_replace(trim(col("text")), "\\s+", " "))).as("fp"),
-          explode(split(trim(col("text")), "\\s+")).as("tok"))
-        .groupBy(col("fp")).agg(count(col("tok"))).orderBy(col("fp")).count()
-      val em = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
-        .select(col("embedding").cast("array<double>").as("e"))
-      em.select(graft.functions.DotExpr(col("e"), col("e")).as("d")).agg(sum(col("d"))).count()
-    }
-    }
+    // warmup block (warmupLoop) until ≥ 45 s from bench start so every
+    // query's samples start on compiled code.
+    val warmupFloorMs = warmupFloorMsFromEnv
     // Load stamp: r4's driver bench ran on a contended box and
     // inflated untouched queries up to 14x, making every perf claim
     // unfalsifiable. Record 1-min system load at start/end plus the
@@ -125,8 +162,7 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
     val load0 = loadAvg; val jvms0 = otherJvms; val idle0 = cpuIdleFrac
-    warmupPass()
-    while (warmupElapsedMs < warmupFloorMs) warmupPass()
+    warmupLoop(spark, sfDir, warmupFloorMs)
     // best-of-3 per query: machine-noise variance between single runs
     // measured up to 1.6x; the min is the reproducible cost.
     // Drive with a noop-format write, not count(): count() lets
@@ -139,17 +175,8 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Some((System.nanoTime() - t0) / 1e9)
-      } catch { case e: Throwable =>
-        // a failed run's time-to-failure must not become the min
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        None
-      }
-    }
+    def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] =
+      sampleQuery(spark, sfDir, name, fn)
     // Same-day envelope probe (VERDICT r11 #5, opt-in via
     // SPARK_GRAFT_ENVELOPE_PROBE=1): BenchCompare's regression
     // envelope was a constant from a hand-measured A/B — fine until

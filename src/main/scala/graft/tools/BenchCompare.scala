@@ -22,9 +22,20 @@ package graft.tools
   * Improvements are reported symmetrically but never fail the gate.
   *
   * Usage: runMain graft.tools.BenchCompare <committed.json> <fresh.json>
-  *          [envelope=0.20] [minAbsSec=0.40]
+  *          [envelope=0.20|auto] [minAbsSec=0.40] [recheckSfDir]
   * Prints one JSON verdict line; exits 1 if any regression survives
   * the envelope (so a gated sbt invocation fails loudly).
+  *
+  * With a 5th arg (the sf dir the fresh lap ran on), adjudication is
+  * MECHANICAL (VERDICT r12 #1): every query the lap flags is re-run
+  * focused — SAMPLES=7 in a fresh warmed bench-contract JVM, the
+  * exact recheck the runbook previously prescribed as a manual step —
+  * and the CONVERGED min decides. Both numbers land in the artifact
+  * (`recheck.checks[*].lap_ratio` / `converged_ratio`), so a
+  * dissolved flag is auditable and a confirmed one is already
+  * re-measured. r11→r12 evidence: all 12 lap flags (worst dd32
+  * 1.77×) converged to 1.06–1.17× under this exact procedure — a
+  * full round of hand adjudication this mode replaces.
   */
 object BenchCompare {
 
@@ -71,6 +82,53 @@ object BenchCompare {
     parseEnvelopeProbe(freshJson)
       .map(m => math.max(m, EnvelopeFloor)).getOrElse(EnvelopeFloor)
 
+  /** One flagged query's focused re-measurement (VERDICT r12 #1):
+    * `lapSec` is the full-lap sample that tripped the envelope,
+    * `convergedSec` the min of a SAMPLES=7 focused re-run in a fresh
+    * warmed JVM — the same contract as the runbook's manual recheck,
+    * now executed by the gate itself.
+    */
+  final case class Recheck(q: String, oldSec: Double, lapSec: Double,
+      convergedSec: Double) {
+    def lapRatio: Double = if (oldSec > 0) lapSec / oldSec else Double.NaN
+    def convergedRatio: Double =
+      if (oldSec > 0) convergedSec / oldSec else Double.NaN
+  }
+
+  /** The mechanical adjudication rule: a lap flag survives ONLY if
+    * the CONVERGED measurement also exceeds the envelope (ratio and
+    * absolute-delta arms both re-applied). Returns
+    * (confirmed regressions, dissolved-as-noise).
+    */
+  def adjudicate(rechecks: Seq[Recheck], envelope: Double,
+      minAbs: Double): (Seq[Recheck], Seq[Recheck]) =
+    rechecks.partition(r =>
+      r.convergedRatio > 1.0 + envelope &&
+        r.convergedSec - r.oldSec >= minAbs)
+
+  /** Focused converged re-measurement of the flagged queries: fresh
+    * bench-contract session (graft.Bench.buildSession), full warmup
+    * floor, `samples` runs per query, min wins. Keys in and out are
+    * the bench summary's SHORT ids (prefix before '_'). A query whose
+    * every sample fails is absent from the result (the caller keeps
+    * its lap flag — loud, never silently dissolved).
+    */
+  def runFocused(sfDir: String, shortIds: Seq[String], samples: Int,
+      warmupMs: Long): Map[String, Double] = {
+    val spark = graft.Bench.buildSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+    graft.Bench.warmupLoop(spark, sfDir, warmupMs)
+    shortIds.flatMap { id =>
+      graft.SparkEntry.queries
+        .find(_._1.takeWhile(_ != '_') == id).flatMap { case (n, f) =>
+          val ts = (1 to samples).flatMap(_ =>
+            graft.Bench.sampleQuery(spark, sfDir, n, f))
+          graft.streaming.StreamJobs.cleanupFileSnapshots()
+          if (ts.nonEmpty) Some(id -> ts.min) else None
+        }
+    }.toMap
+  }
+
   /** (regressions, improvements) among common keys with valid times.
     * -1 entries (failed samples) never adjudicate — they surface in
     * the `invalid` bucket instead so a silently-failing query cannot
@@ -93,7 +151,8 @@ object BenchCompare {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: BenchCompare <committed.json> <fresh.json> [envelope|auto] [minAbsSec]")
+      "usage: BenchCompare <committed.json> <fresh.json> [envelope|auto] " +
+        "[minAbsSec] [recheckSfDir]")
     val minAbs = args.lift(3).map(_.toDouble).getOrElse(0.40)
     val oldJson = java.nio.file.Files.readString(
       java.nio.file.Paths.get(args(0)))
@@ -108,11 +167,47 @@ object BenchCompare {
     }
     val oldQ = parseQueries(oldJson)
     val newQ = parseQueries(newJson)
-    val (reg, imp, invalid) = compare(oldQ, newQ, envelope, minAbs)
+    val (lapFlags, imp, invalid) = compare(oldQ, newQ, envelope, minAbs)
+    // Mechanical adjudication (VERDICT r12 #1): with a recheck dir,
+    // every lap flag is re-measured focused (SAMPLES=7, fresh warmed
+    // bench-contract JVM — the runbook's manual recheck, executed by
+    // the gate) and the CONVERGED ratio decides. Without one, the lap
+    // flags decide directly (the pre-r13 behavior).
+    val recheckDir = args.lift(4).filter(d => d.nonEmpty && d != "-")
+    val samples = sys.env.get("SPARK_GRAFT_RECHECK_SAMPLES")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(7)
+    val rechecks: Seq[Recheck] = recheckDir match {
+      case Some(dir) if lapFlags.nonEmpty =>
+        val converged = runFocused(dir, lapFlags.map(_.q), samples,
+          graft.Bench.warmupFloorMsFromEnv)
+        // a query whose every recheck sample failed keeps its lap
+        // value as the converged one — it stays confirmed, loudly
+        lapFlags.map(d =>
+          Recheck(d.q, d.oldSec, d.newSec, converged.getOrElse(d.q, d.newSec)))
+      case _ => Seq.empty
+    }
+    val (reg, dissolved) = recheckDir match {
+      case Some(_) if lapFlags.nonEmpty =>
+        val (conf, noise) = adjudicate(rechecks, envelope, minAbs)
+        (conf.map(r => Delta(r.q, r.oldSec, r.convergedSec)), noise)
+      case _ => (lapFlags, Seq.empty[Recheck])
+    }
     def fmt(ds: Seq[Delta]): String = ds.map(d =>
       s"""{"q":"${d.q}","old":${d.oldSec},"new":${d.newSec},""" +
         s""""ratio":${math.round(d.ratio * 100) / 100.0}}""")
       .mkString("[", ",", "]")
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    def fmtRechecks(rs: Seq[Recheck]): String = rs.map(r =>
+      s"""{"q":"${r.q}","old":${r.oldSec},"lap":${r.lapSec},""" +
+        s""""converged":${r2(r.convergedSec)},""" +
+        s""""lap_ratio":${r2(r.lapRatio)},""" +
+        s""""converged_ratio":${r2(r.convergedRatio)}}""")
+      .mkString("[", ",", "]")
+    val recheckJson = recheckDir.map(dir =>
+      s""""recheck":{"sf":"${dir.split('/').last}","samples":$samples,""" +
+        s""""lap_flags":${lapFlags.size},"confirmed":${reg.size},""" +
+        s""""dissolved":${fmtRechecks(dissolved)},""" +
+        s""""checks":${fmtRechecks(rechecks)}},""").getOrElse("")
     val nCommon = oldQ.keySet.intersect(newQ.keySet).size
     val totOld = oldQ.filter(_._2 > 0).values.sum
     val totNew = newQ.filter(_._2 > 0).values.sum
@@ -121,6 +216,7 @@ object BenchCompare {
         s""""n_common":$nCommon,"envelope":$envelope,"min_abs_sec":$minAbs,""" +
         s""""total_old":${math.round(totOld * 10) / 10.0},""" +
         s""""total_new":${math.round(totNew * 10) / 10.0},""" +
+        recheckJson +
         s""""regressions":${fmt(reg)},"improvements":${fmt(imp)},""" +
         s""""invalid":${invalid.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     if (reg.nonEmpty) sys.exit(1)

@@ -87,6 +87,44 @@ class BenchCompareSpec extends AnyFunSuite {
       BenchCompare.EnvelopeFloor)
   }
 
+  test("converged recheck dissolves a lap-transient flag (the r12 dd32 case)") {
+    // dd32 read 0.56→0.99 in the r12 full lap (1.77x, +0.43 s — both
+    // arms tripped) but converged to ~1.1x on the focused SAMPLES=7
+    // recheck; the mechanical rule must dissolve it with no human
+    val rc = BenchCompare.Recheck("dd32", 0.56, 0.99, 0.62)
+    val (confirmed, dissolved) = BenchCompare.adjudicate(Seq(rc), env, minAbs)
+    assert(confirmed.isEmpty)
+    assert(dissolved.map(_.q) === Seq("dd32"))
+  }
+
+  test("converged recheck confirms a regression that re-measures slow") {
+    val rc = BenchCompare.Recheck("dd33", 3.90, 5.50, 5.40)
+    val (confirmed, dissolved) = BenchCompare.adjudicate(Seq(rc), env, minAbs)
+    assert(confirmed.map(_.q) === Seq("dd33"))
+    assert(dissolved.isEmpty)
+  }
+
+  test("recheck re-applies BOTH envelope arms to the converged value") {
+    // converged ratio 1.5x but delta 0.15 s: sub-minAbs — noise
+    val subAbs = BenchCompare.Recheck("q62", 0.30, 0.74, 0.45)
+    // converged delta 0.9 s but ratio 1.12x: in-envelope — noise
+    val subRatio = BenchCompare.Recheck("ss37", 7.50, 10.9, 8.40)
+    val (confirmed, dissolved) =
+      BenchCompare.adjudicate(Seq(subAbs, subRatio), env, minAbs)
+    assert(confirmed.isEmpty)
+    assert(dissolved.map(_.q).toSet === Set("q62", "ss37"))
+  }
+
+  test("runFocused measures real queries by short id and skips unknown ids") {
+    // the integration leg of the mechanical path: a tiny-sf focused
+    // recheck must return a positive converged time for a real query
+    // and silently omit an id that matches no SparkEntry entry
+    val out = BenchCompare.runFocused("/root/testdata/sf0.001",
+      Seq("q02", "zz99"), samples = 2, warmupMs = 0L)
+    assert(out.keySet === Set("q02"))
+    assert(out("q02") > 0.0)
+  }
+
   test("the derived envelope adjudicates the r11 warmup-class phantoms") {
     // the r11 first mechanical lap flagged 10 early-alphabet queries
     // at ~1.3-1.5x before the warmup floor landed; on such a day the

@@ -106,6 +106,45 @@ object Tuned {
   def autoSalt(picks: Picks, eventType: String): Int =
     picks.saltByType.getOrElse(eventType, 1L).toInt
 
+  // --- per-type dial plumbing (VERDICT r12 #2) -------------------------
+  // The session-level picks flow through runtime confs (the q82/dd46
+  // pattern); the PER-TYPE picks do too, serialized as "type:value,…"
+  // so operator code — which only sees (SparkSession, dir) — can apply
+  // them where it joins/streams. Unset confs = untuned behavior, so
+  // oracle laps are untouched.
+
+  /** Conf carrying q81's per-type salt picks ("click:8,view:1"). */
+  val SaltConf = "spark.graft.salt.byType"
+  /** Conf carrying ev82's per-type watermark-delay picks (seconds). */
+  val WatermarkConf = "spark.graft.stream.watermarkByType"
+
+  def fmtTypeMap(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")
+
+  def parseTypeMap(v: String): Map[String, Long] =
+    v.split(",").iterator.map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+      kv.split(":") match {
+        case Array(k, n) => scala.util.Try(k -> n.trim.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** The tuned per-type salt map from the session conf; empty when
+    * the session is untuned ([[Skew.autoSaltedJoin]] consumers fall
+    * back to their static salt). */
+  def confSaltByType(s: SparkSession): Map[String, Long] =
+    s.conf.getOption(SaltConf).map(parseTypeMap).getOrElse(Map.empty)
+
+  /** The tuned watermark delay for one event type, `withWatermark`-
+    * ready; `default` when the session is untuned or the type is
+    * unseen. The per-type pick is ev82's measured disorder bound, so
+    * a tuned stream holds exactly the state its type's lateness
+    * requires instead of a folklore constant. */
+  def confWatermarkFor(s: SparkSession, eventType: String,
+      default: String): String =
+    s.conf.getOption(WatermarkConf).map(parseTypeMap).getOrElse(Map.empty)
+      .get(eventType).map(sec => s"$sec seconds").getOrElse(default)
+
   /** Apply the session-level picks: spark.sql.shuffle.partitions
     * (q82) and spark.graft.emb.bandBits (dd46) — both runtime confs,
     * read by every subsequent plan (Dedup.embCandidates validates the
@@ -121,6 +160,11 @@ object Tuned {
     val p = picks(s, d)
     s.conf.set("spark.sql.shuffle.partitions", p.shuffleParts.toString)
     s.conf.set("spark.graft.emb.bandBits", p.bandBits.toString)
+    // the per-type dials ride the same conf channel so operator-level
+    // consumers (q27's auto-salted join, ev49's per-side watermarks)
+    // apply them without a side-channel (VERDICT r12 #2)
+    s.conf.set(SaltConf, fmtTypeMap(p.saltByType))
+    s.conf.set(WatermarkConf, fmtTypeMap(p.watermarkDelaySByType))
     p
   }
 }

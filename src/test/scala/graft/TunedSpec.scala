@@ -117,4 +117,88 @@ class TunedSpec extends SparkSpec {
     assert(Tuned.Picks(32L, 4, Map.empty, Map.empty).watermarkDelayS ===
       Round11.WatermarkDialS.head)
   }
+
+  // --- per-type dial consumers (VERDICT r12 #2) -------------------------
+
+  private def withTypeConfs[T](salts: Map[String, Long],
+      wms: Map[String, Long])(f: => T): T = {
+    spark.conf.set(Tuned.SaltConf, Tuned.fmtTypeMap(salts))
+    spark.conf.set(Tuned.WatermarkConf, Tuned.fmtTypeMap(wms))
+    try f
+    finally {
+      spark.conf.unset(Tuned.SaltConf)
+      spark.conf.unset(Tuned.WatermarkConf)
+    }
+  }
+
+  test("per-type confs round-trip and consumers read them") {
+    val m = Map("click" -> 8L, "purchase" -> 1L, "view" -> 4L)
+    assert(Tuned.parseTypeMap(Tuned.fmtTypeMap(m)) === m)
+    assert(Tuned.parseTypeMap("") === Map.empty)
+    assert(Tuned.parseTypeMap("garbage") === Map.empty)
+    withTypeConfs(m, Map("click" -> 45L)) {
+      assert(Tuned.confSaltByType(spark) === m)
+      assert(Tuned.confWatermarkFor(spark, "click", "1 hour") === "45 seconds")
+      assert(Tuned.confWatermarkFor(spark, "never_seen", "1 hour") === "1 hour")
+    }
+    // untuned session: empty map, defaults pass through
+    assert(Tuned.confSaltByType(spark) === Map.empty)
+    assert(Tuned.confWatermarkFor(spark, "click", "1 hour") === "1 hour")
+  }
+
+  test("session() publishes the per-type dials on the conf channel") {
+    val parts0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val p = Tuned.session(spark, sf)
+      assert(Tuned.confSaltByType(spark) === p.saltByType)
+      val wm = Tuned.parseTypeMap(spark.conf.get(Tuned.WatermarkConf))
+      assert(wm === p.watermarkDelaySByType)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", parts0)
+      Seq("spark.graft.emb.bandBits", Tuned.SaltConf, Tuned.WatermarkConf)
+        .foreach(spark.conf.unset)
+    }
+  }
+
+  test("autoSaltedJoin is result-identical to the plain join for any salt map") {
+    import spark.implicits._
+    val left = (1 to 200).map(i =>
+      (i.toLong, s"id$i", if (i % 3 == 0) "click" else "view", i % 7))
+      .toDF("k", "uid", "event_type", "payload")
+    val right = (0 to 6).map(i => (i.toLong * 3 % 21, s"dim$i"))
+      .toDF("rk", "dim").distinct()
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val cols = df.columns.sorted.toIndexedSeq
+      df.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+    }
+    val plain = canon(left.join(right, left("k") === right("rk")))
+    for (m <- Seq(Map("click" -> 4L, "view" -> 1L),
+        Map("click" -> 8L), Map.empty[String, Long])) {
+      val salted = canon(graft.operators.Skew.autoSaltedJoin(
+        left, right, "k", "rk", col("uid"), col("event_type"), m))
+      assert(salted === plain, s"map=$m")
+    }
+  }
+
+  test("q27 and ev49 are result-identical under the tuned per-type dials at gated SF") {
+    // the round-13 consumer contract: applying the REAL gated-SF picks
+    // (plus a deliberately mixed synthetic salt map) must not flip the
+    // oracle-gated results — q27's auto-salted join is identical to
+    // the static-8 shape by construction, and ev49's single-batch
+    // AvailableNow run is exact under any watermark delay
+    def runQ27 = SparkEntry.queries("q27_salted_join")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    def runEv49 = SparkEntry.queries("ev49_stream_interval_join")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val q27Before = runQ27
+    val ev49Before = runEv49
+    val p = Tuned.picks(spark, sf)
+    withTypeConfs(p.saltByType, p.watermarkDelaySByType) {
+      assert(runQ27 === q27Before, "q27 under real gated-SF salt picks")
+      assert(runEv49 === ev49Before, "ev49 under real gated-SF watermark picks")
+    }
+    withTypeConfs(Map("click" -> 8L, "purchase" -> 2L), Map("click" -> 45L)) {
+      assert(runQ27 === q27Before, "q27 under a mixed synthetic salt map")
+    }
+  }
 }

@@ -30,17 +30,28 @@ import org.apache.spark.sql.functions._
   * sum(n_chars), not row count, when reading char-bound ladder legs.
   *
   * Usage: runMain graft.tools.ScaleData /root/testdata/sf0.1 tmp/sf1 10
+  *          [documents,embeddings,events,facts,dims]
+  * (4th arg limits which table groups are replicated; default all.)
   */
 object ScaleData {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
     val reps = if (args.length > 2) args(2).toInt else 10
+    // Optional 4th arg: comma list of table groups to replicate
+    // ("documents,embeddings,events,facts,dims"; default all). A
+    // 1000x EVENTS rung (VERDICT r12 #3: price stream state at
+    // >=1.5M keys) must not pay 1000x document regex replication it
+    // never reads.
+    val want: Set[String] = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("documents", "embeddings", "events", "facts", "dims"))
     val spark = graft.core.ClusterConf.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt).getOrCreate()
 
     val rep = spark.range(reps.toLong).select(col("id").cast("int").as("rep"))
 
+    if (want("documents")) {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.crossJoin(broadcast(rep))
       .select(
@@ -51,7 +62,9 @@ object ScaleData {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }
 
+    if (want("embeddings")) {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     emb.crossJoin(broadcast(rep))
       .select(
@@ -63,11 +76,13 @@ object ScaleData {
         col("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
 
     // events: per-replica id/user offsets keep every per-user stream's
     // session/gap structure exactly the original's; timestamps are
     // copied through, so per-hour volume scales xN — the realistic
     // scale-up for the streaming/session arms
+    if (want("events")) {
     val ev = spark.read.parquet(s"$src/events.parquet")
     ev.crossJoin(broadcast(rep))
       .select(
@@ -77,11 +92,13 @@ object ScaleData {
         col("event_type"), col("value"), col("props"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
+    }
 
     // lineitem + orders: the SAME per-replica offset on every join key
     // (orderkey, custkey, suppkey, partkey) keeps replica subgraphs
     // disjoint and FK-consistent — graph ops (q56 PageRank, q77
     // wedges) scale linearly by construction instead of densifying
+    if (want("facts")) {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
     li.crossJoin(broadcast(rep))
       .select(
@@ -102,6 +119,7 @@ object ScaleData {
         ord.columns.filterNot(Set("o_orderkey", "o_custkey")).map(col): _*)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    }
 
     // Dimension tables (ADVICE r9): the fact offsets above reference
     // custkey/suppkey/partkey values in replicas > 0 that exist in no
@@ -119,6 +137,7 @@ object ScaleData {
         .repartition(8)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
     }
+    if (want("dims")) {
     replicateDim("customer", "c_custkey")
     replicateDim("supplier", "s_suppkey")
     replicateDim("part", "p_partkey")
@@ -126,13 +145,18 @@ object ScaleData {
       spark.read.parquet(s"$src/$t.parquet")
         .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
     }
+    }
 
+    def countIf(group: String, table: String): String =
+      if (want(group))
+        s""""$table":${spark.read.parquet(s"$out/$table.parquet").count()}"""
+      else s""""$table":-1"""
     println(s"""{"wrote":"$out","reps":$reps,""" +
-      s""""docs":${spark.read.parquet(s"$out/documents.parquet").count()},""" +
-      s""""vecs":${spark.read.parquet(s"$out/embeddings.parquet").count()},""" +
-      s""""events":${spark.read.parquet(s"$out/events.parquet").count()},""" +
-      s""""lineitem":${spark.read.parquet(s"$out/lineitem.parquet").count()},""" +
-      s""""customer":${spark.read.parquet(s"$out/customer.parquet").count()}}""")
+      countIf("documents", "documents") + "," +
+      countIf("embeddings", "embeddings") + "," +
+      countIf("events", "events") + "," +
+      countIf("facts", "lineitem") + "," +
+      countIf("dims", "customer") + "}")
     spark.stop()
   }
 }

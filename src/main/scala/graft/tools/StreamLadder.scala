@@ -29,6 +29,13 @@ object StreamLadder {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // ladder-tool allowance: the memory-sink snapshot ops (ev49/
+      // ev51) ship their pre-census rows to the driver; at the 1000x
+      // events rung that exceeds the 1g default maxResultSize (the
+      // production posture is the file sink — this is measurement
+      // tooling only)
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "4g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
@@ -37,6 +44,17 @@ object StreamLadder {
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         else p
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
+    // SPARK_GRAFT_TUNED=1 (same contract as Bench): the engine sets
+    // the dials from its gated censuses — including the PER-TYPE
+    // watermark picks ev49 consumes (VERDICT r12 #2) — so the ladder
+    // can run a tuned stream leg and record its state footprint.
+    // Requires the corpus to carry all census tables.
+    if (sys.env.get("SPARK_GRAFT_TUNED").contains("1")) {
+      val p = graft.operators.Tuned.session(spark, dir)
+      println(s"""{"tuned":{"parts":${p.shuffleParts},"bandBits":${p.bandBits},""" +
+        s""""salts":"${graft.operators.Tuned.fmtTypeMap(p.saltByType)}",""" +
+        s""""watermarks_s":"${graft.operators.Tuned.fmtTypeMap(p.watermarkDelaySByType)}"}}""")
     }
     val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
     println(s"""{"corpus":"$dir","n_events":$nEvents,"provider":"${

@@ -68,6 +68,12 @@ def bench_rows():
     return rows
 
 
+# One full `sbt test` lap bound (seconds): the r12 full lap took
+# 14m43s; 30 min is generous headroom for a loaded box while still
+# rejecting any set layered across separate runs.
+FULL_LAP_BOUND_S = 1800
+
+
 def test_lap():
     """Aggregate scalatest XMLs, counting ONLY suites whose source file
     still exists (stale XMLs from deleted debug suites inflated naive
@@ -94,10 +100,19 @@ def test_lap():
         canceled += int(r.get("skipped", 0))
         mtimes.append(os.path.getmtime(p))
     span = None
+    mixed = False
     if mtimes:
         span = (datetime.datetime.fromtimestamp(min(mtimes)),
                 datetime.datetime.fromtimestamp(max(mtimes)))
-    return suites, tests, fails, errs, canceled, skipped, span
+        # one full `sbt test` lap writes every XML within its own
+        # wall time (~15 min on this box); a span beyond 30 min means
+        # focused testOnly runs overwrote part of the set — the
+        # aggregate is then a MIX of trees and must never be stamped
+        # as a seal (VERDICT r12 #4: the r12 ledger's counts came from
+        # exactly such a set; the first r13 cut of this check used a
+        # 1-hour bound and sealed a 56-min layered set — too loose)
+        mixed = (span[1] - span[0]).total_seconds() > FULL_LAP_BOUND_S
+    return suites, tests, fails, errs, canceled, skipped, span, mixed
 
 
 def log_rows():
@@ -128,10 +143,12 @@ NOTES = """
   plain `div` wherever a plain `//` oracle is used; q44's day/hour
   keys keep their symmetric both-sides floor guard.
 - The test-lap section counts ONLY suites whose source file still
-  exists, so deleted debug suites can never inflate the totals again;
-  a wide mtime span means the XMLs are from MIXED runs (focused
-  testOnly laps overwrite per-suite files) — treat the aggregate as
-  indicative until a full `sbt test` refreshes every file.
+  exists, so deleted debug suites can never inflate the totals again.
+  An XML mtime span beyond one full-lap bound (30 min) means the XMLs
+  are from MIXED runs (focused testOnly laps overwrite per-suite
+  files): the section is marked UNSEALED and `gen_gates.py --seal`
+  REFUSES to stamp — the final seal must come from ONE clean full
+  `sbt test` (VERDICT r12 #4).
 """
 
 
@@ -170,18 +187,20 @@ def render():
         out.append(
             f"| r{rnd} | {sf} | {cpus} | {total} | {n} | {spq} | {lane(b)} | {lane(st)} "
             f"| {dig.get('contended', '')} | {dig.get('load', '')} |")
-    suites, tests, fails, errs, canceled, skipped, span = test_lap()
+    suites, tests, fails, errs, canceled, skipped, span, mixed = test_lap()
     out += ["",
             "## Test lap (target/test-reports, source-backed suites only)",
             "",
+            ("- **UNSEALED — MIXED runs** (counts are indicative only; "
+             "refresh with ONE full `sbt test` and re-stamp with "
+             "`gen_gates.py --seal`)" if mixed else
+             "- sealed-eligible: single-lap XML set") ,
             f"- suites: {suites}, tests: {tests} (INCLUDING canceled — "
             "scalatest XML does not mark cancellation), "
             f"failures: {fails}, errors: {errs}, xml-skipped: {canceled}"]
     if span:
         out.append(f"- XML mtime span: {span[0]:%Y-%m-%d %H:%M} → "
-                   f"{span[1]:%Y-%m-%d %H:%M}"
-                   + (" (MIXED runs — refresh with a full `sbt test`)"
-                      if (span[1] - span[0]).total_seconds() > 3600 else ""))
+                   f"{span[1]:%Y-%m-%d %H:%M}")
     if skipped:
         out.append(f"- stale XMLs ignored (no source file): "
                    f"{', '.join(skipped)}")
@@ -199,7 +218,34 @@ def render():
     return "\n".join(out) + "\n"
 
 
+def seal():
+    """Stamp the test-lap seal — REFUSES a mixed-mtime XML set
+    (VERDICT r12 #4: a seal must come from ONE clean full `sbt test`,
+    never an aggregate of focused laps over different trees)."""
+    suites, tests, fails, errs, canceled, skipped, span, mixed = test_lap()
+    if suites == 0:
+        sys.exit("seal REFUSED: no test XMLs found — run a full `sbt test`")
+    if mixed:
+        sys.exit(f"seal REFUSED: XML mtime span {span[0]:%H:%M} → "
+                 f"{span[1]:%H:%M} exceeds one lap (MIXED runs) — "
+                 "run ONE full `sbt test` and re-seal")
+    if fails or errs:
+        sys.exit(f"seal REFUSED: {fails} failures / {errs} errors in the lap")
+    e = {"when": datetime.datetime.now().strftime("%Y-%m-%d %H:%M"),
+         "gate": "test-lap SEAL (gen_gates.py --seal: single-lap XML set "
+                 "verified)",
+         "scope": f"{suites} suites / {tests} tests, XML span "
+                  f"{span[0]:%H:%M}-{span[1]:%H:%M}",
+         "result": f"{tests - fails - errs} passed (incl. canceled), "
+                   f"0 failed"}
+    with open(LOG, "a") as f:
+        f.write(json.dumps(e) + "\n")
+    print("sealed:", e["scope"])
+
+
 def main():
+    if len(sys.argv) >= 2 and sys.argv[1] == "--seal":
+        seal()
     if len(sys.argv) >= 3 and sys.argv[1] == "--log":
         e = json.loads(sys.argv[2])
         e.setdefault("when",

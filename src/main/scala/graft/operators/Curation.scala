@@ -519,8 +519,11 @@ object Curation {
       val dedup = graft.streaming.StreamJobs.eventsFileStream(s, d)
         .withWatermark("ts", "3650 days")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
+      // file snapshot, not memory: the deduped stream is EVENT-
+      // proportional, and the r13 1000x rung proved that class of
+      // memory sink dies on driver result size (ev47 at 100M events)
       graft.streaming.StreamJobs
-        .runMemorySnapshot(dedup, "graft_ev21_mem", "append")
+        .runFileSnapshot(dedup)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_keys"))
         .orderBy(col("event_type"))

@@ -63,7 +63,11 @@ object Round6k {
           expr("unix_micros(ts)").as("t"))
         .as[StreamJobs.RateIn]
       val out = StreamJobs.rateLimit(feed, Round4b.RateLimit)
-      val snap = StreamJobs.runMemorySnapshot(out.toDF(), "graft_ev47_mem", "append")
+      // file snapshot: per-event verdicts are EVENT-proportional — the
+      // r13 1000x rung (100M events) killed the memory sink here at
+      // 4.4 GiB of driver results; the file sink keeps output
+      // distributed (the production shape)
+      val snap = StreamJobs.runFileSnapshot(out.toDF())
       snap.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("throttled"), 1L).otherwise(0L)).cast("long").as("n_throttled"),

@@ -72,8 +72,11 @@ object Round6m {
         l("user_id") === r("p_user") &&
           r("p_ts") >= l("c_ts") &&
           r("p_ts") <= l("c_ts") + expr("INTERVAL 30 MINUTES"))
-      val snap = StreamJobs.runMemorySnapshot(
-        pairs.select(col("event_id"), col("value")), "graft_ev49_mem", "append")
+      // file snapshot: the pair stream grows linearly with events
+      // (r13 1000x rung: event-proportional memory sinks die on
+      // driver result size)
+      val snap = StreamJobs.runFileSnapshot(
+        pairs.select(col("event_id"), col("value")))
       snap.groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_overlaps"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

@@ -35,7 +35,10 @@ object Round6q {
         .select(col("user_id"), col("ts"))
         .as[StreamJobs.SessionEvent]
       val out = StreamJobs.sessionize(feed, GapSec, flushIdle = false)
-      val snap = StreamJobs.runMemorySnapshot(out.toDF(), "graft_ev51_mem", "append")
+      // file snapshot: completed sessions are EVENT-proportional — the
+      // r13 1000x rung drove the memory sink into serialization
+      // distress at 100M events; the file sink keeps output distributed
+      val snap = StreamJobs.runFileSnapshot(out.toDF())
       snap.groupBy(col("n_events"))
         .agg(count(lit(1)).cast("long").as("n_sessions"),
           sum(col("duration_sec")).cast("long").as("total_duration_sec"))

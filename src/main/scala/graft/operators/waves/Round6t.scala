@@ -41,7 +41,10 @@ object Round6t {
       val streamed = StreamJobs.eventsFileStream(s, d)
         .filter(col("ts") >= cut - expr(s"INTERVAL $OverlapSec SECONDS"))
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-      val live = StreamJobs.runMemorySnapshot(streamed, "graft_ev53_mem", "append")
+      // file snapshot: the overlap window's rows scale with events
+      // (r13 1000x rung: event-proportional memory sinks die on
+      // driver result size)
+      val live = StreamJobs.runFileSnapshot(streamed)
       batch.unionByName(live)
         .dropDuplicates("event_id")
         .groupBy(col("event_type"))

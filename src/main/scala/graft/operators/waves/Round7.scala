@@ -141,7 +141,10 @@ object Round7 {
       encodeMessages(s, d).coalesce(4).write.mode("overwrite").text(dir)
       val parsed = EventStreams.validated(EventStreams.extractEvents(
         LakeIngest.readJsonlStream(s, dir)))
-      val snap = StreamJobs.runMemorySnapshot(parsed, "graft_ev73_mem", "append")
+      // file snapshot: parsed lake events are EVENT-proportional
+      // (r13 1000x rung: that class of memory sink dies on driver
+      // result size)
+      val snap = StreamJobs.runFileSnapshot(parsed)
       ingestCensus(snap)
     })
 

@@ -161,4 +161,36 @@ class SinksSpec extends SparkSpec {
     val m2 = Sinks.parquetWithManifest(df, path, Seq("day"))
     assert(m2 === m1)
   }
+
+  test("parquetWithManifest caps a high-cardinality partition breakdown at TopK + overflow") {
+    // VERDICT r12 #6: the per-partition-column collect must stay
+    // bounded when the partition column has more values than
+    // ManifestTopK — the listed set is the TopK heaviest, the tail
+    // rolls up into partition_overflow with exact rows/values
+    val path = tmpDir("graft-manifest-hc") + "/store"
+    val k = Sinks.ManifestTopK
+    // k+20 distinct buckets; buckets 0 and 1 are heavy (10 rows each),
+    // the rest carry 1 row — so exactly 18 values overflow (18 rows)
+    val rows = (0 until k + 18).map(b => (b.toLong, s"b$b")) ++
+      (1 to 9).flatMap(i => Seq((1000L + i, "b0"), (2000L + i, "b1")))
+    val df = rows.toDF("id", "bucket")
+    val m = Sinks.parquetWithManifest(df, path, Seq("bucket"))
+    assert(m.contains(s""""n_rows":${rows.size}"""))
+    // the heavy buckets are listed individually
+    assert(m.contains("\"b0\":10") && m.contains("\"b1\":10"))
+    // exactly TopK values listed: count the quoted keys inside the
+    // bucket map
+    val listed = """"b[0-9]+":\d+""".r.findAllIn(m).size
+    assert(listed === k, s"listed $listed, want $k")
+    assert(m.contains(""""partition_overflow":{"bucket":{"n_rows":18,"n_values":18}"""))
+    // determinism: identical input -> byte-identical manifest,
+    // including the capped breakdown and the overflow rollup
+    val m2 = Sinks.parquetWithManifest(df, path, Seq("bucket"))
+    assert(m2 === m)
+    // and a low-cardinality manifest carries NO overflow section
+    val lo = Sinks.parquetWithManifest(
+      Seq((1L, "x")).toDF("id", "day"), tmpDir("graft-manifest-lo") + "/s",
+      Seq("day"))
+    assert(!lo.contains("partition_overflow"))
+  }
 }

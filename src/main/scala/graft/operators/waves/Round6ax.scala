@@ -48,6 +48,14 @@ object Round6ax {
       val med = medianOf(hist, "v")
         .select(col("priority"), col("med").as("median_cents"),
           col("n").as("n_lines"))
+      // NOT broadcast(med), measured (r13): forcing the 5-row median
+      // frame into broadcast-build jobs read a converged 1.25x SLOWER
+      // (2.51 -> 3.15 s at sf0.1, controls flat) than letting AQE
+      // handle the 5-key exchange — the window pipeline behind med
+      // serializes ahead of the probe side under an explicit
+      // broadcast, while the hist exchange it saves is small in
+      // absolute terms. ss40's orphan-join lesson does NOT transfer
+      // when the build side carries the heavy lineage.
       val devHist = hist.join(med, Seq("priority"))
         .withColumn("dev", abs(col("v") - col("median_cents")))
         .groupBy(col("priority"), col("dev"))

@@ -44,20 +44,28 @@ object Round8g {
         .withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= 10)
         .select(col("q_id"), col("vec_id")))
-      // one assignment table per layout (cells keyed by (nlist, cell))
-      val assigned = NLists.map { k =>
-        val cents = e.filter(col("vec_id") < k)
-          .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-            col("norm").as("c_norm"))
-        val byVec = Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_cos").desc, col("c_id"))
-        e.crossJoin(broadcast(cents))
-          .withColumn("c_cos", Det.trunc4(
-            Similarity.dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm"))))
-          .withColumn("rn", row_number().over(byVec))
-          .filter(col("rn") === 1)
-          .select(lit(k.toLong).as("nlist"), col("vec_id"), col("c_id").as("cell"))
-      }.reduce(_ unionByName _)
+      // one assignment table for ALL layouts (r13): the k-layout
+      // centroid set is exactly {vec_id < k} ⊂ {vec_id < 16}, so one
+      // corpus×cents16 cos pass scores every layout; each nlist's
+      // nearest cell is then an argmax (max_by over (c_cos, −c_id) —
+      // the window's c_cos DESC, c_id ASC tie-break) on the slice
+      // c_id < nlist. One crossJoin + one map-side-combinable
+      // aggregate replaces |NLists| crossJoins + |NLists| windows:
+      // 16 dots/vec instead of 2+4+8+16, and no per-layout sort —
+      // the shape that matters when the corpus is 10⁹ vectors, not
+      // the gated 2k.
+      val cents = e.filter(col("vec_id") < NLists.max)
+        .select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+          col("norm").as("c_norm"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("c_cos", Det.trunc4(
+          Similarity.dot(col("emb"), col("c_emb")) / (col("norm") * col("c_norm"))))
+        .select(col("vec_id"), col("c_id"), col("c_cos"),
+          explode(array(NLists.map(k => lit(k.toLong)): _*)).as("nlist"))
+        .filter(col("c_id") < col("nlist"))
+        .groupBy(col("nlist"), col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+        .select(col("nlist"), col("vec_id"), col("cell"))
       val occ = assigned.groupBy(col("nlist"), col("cell"))
         .agg(count(lit(1)).as("occ"))
       // per (nlist, query): the probed cell's candidate count (occ − 1:

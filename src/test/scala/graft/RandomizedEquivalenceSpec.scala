@@ -561,4 +561,41 @@ class RandomizedEquivalenceSpec extends SparkSpec {
       assert(byHist === byRankNoNull, s"seed=$seed")
     }
   }
+
+  test("argmax cell pick equals the per-layout window pick on tie-heavy scores") {
+    // ss35's r13 rewrite: one scored (vec, centroid) table + a
+    // max_by(c_id, struct(c_cos, -c_id)) argmax per (nlist, vec)
+    // replaces the per-layout row_number windows (c_cos DESC, c_id
+    // ASC). The tie-break must match EXACTLY — cos values are trunc4'd
+    // in the operator, so score ties are routine, and a drifted
+    // tie-break silently reassigns cells. Quantized random scores
+    // force ties; both formulations must agree bit-for-bit.
+    val nlists = Seq(2L, 4L, 8L, 16L)
+    for (seed <- Seq(9, 31)) {
+      val rnd = new Random(seed)
+      val scored = (for {
+        v <- 0 until 300
+        c <- 0 until 16
+      } yield (v.toLong, c.toLong, rnd.nextInt(5) / 10.0))
+        .toDF("vec_id", "c_id", "c_cos")
+      val byWindow = nlists.map { k =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+        scored.filter(col("c_id") < k)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(lit(k).as("nlist"), col("vec_id"), col("c_id").as("cell"))
+      }.reduce(_ unionByName _)
+      val byArgmax = scored
+        .select(col("vec_id"), col("c_id"), col("c_cos"),
+          explode(array(nlists.map(lit(_)): _*)).as("nlist"))
+        .filter(col("c_id") < col("nlist"))
+        .groupBy(col("nlist"), col("vec_id"))
+        .agg(max_by(col("c_id"), struct(col("c_cos"), -col("c_id"))).as("cell"))
+        .select(col("nlist"), col("vec_id"), col("cell"))
+      assert(byArgmax.count() === 300L * nlists.size, s"seed=$seed")
+      assert(byArgmax.exceptAll(byWindow).count() === 0, s"seed=$seed")
+      assert(byWindow.exceptAll(byArgmax).count() === 0, s"seed=$seed")
+    }
+  }
 }

@@ -204,7 +204,14 @@ object Round5d {
       byDec
         .withColumn("cum_cents", sum(col("decile_cents")).over(cum).cast("long"))
         .withColumn("total_cents", sum(col("decile_cents")).over(all).cast("long"))
-        .withColumn("cum_share_fx", expr("(cum_cents * 1000000) div total_cents"))
+        // decimal staging (r13 sf1 audit): cum_cents is a corpus-
+        // proportional money sum — at 10x data cum_cents * 10^6
+        // overflows int64 (measured ARITHMETIC_OVERFLOW at sf1). The
+        // fixed-point step runs in DECIMAL(20,0) (exact, 128-bit
+        // multiply) and `div` returns the same BIGINT share; the
+        // oracle mirrors via HUGEINT.
+        .withColumn("cum_share_fx",
+          expr("(CAST(cum_cents AS DECIMAL(20,0)) * 1000000) div total_cents"))
         .select(col("decile"), col("n_customers"), col("decile_cents"),
           col("cum_cents"), col("cum_share_fx"))
         .orderBy(col("decile"))
@@ -414,7 +421,8 @@ object Round5d {
         |    CAST(SUM(decile_cents) OVER () AS BIGINT) AS total_cents
         |  FROM bd)
         |SELECT decile, n_customers, decile_cents, cum_cents,
-        |  (cum_cents * 1000000) // total_cents AS cum_share_fx
+        |  CAST((CAST(cum_cents AS HUGEINT) * 1000000) // total_cents
+        |    AS BIGINT) AS cum_share_fx
         |FROM c ORDER BY decile""".stripMargin,
 
     "mm07_phash_neardup" ->

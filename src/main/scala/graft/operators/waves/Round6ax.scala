@@ -117,7 +117,11 @@ object Round6ax {
             .as("bytes_near_dropped"))
         .withColumn("bytes_kept",
           col("bytes_in") - col("bytes_exact_dropped") - col("bytes_near_dropped"))
-        .withColumn("keep_fx", expr(s"(bytes_kept * $Fx) div bytes_in"))
+        // decimal staging (r13 sf1 audit class): per-source byte sums
+        // cross the int64 Fx-multiply cliff at ~10^12 bytes — run the
+        // share in DECIMAL(20,0) like q40/q74's money sums
+        .withColumn("keep_fx",
+          expr(s"(CAST(bytes_kept AS DECIMAL(20,0)) * $Fx) div bytes_in"))
         .select(col("source"), col("bytes_in"), col("bytes_exact_dropped"),
           col("bytes_near_dropped"), col("bytes_kept"), col("keep_fx"))
         .orderBy(col("source"))
@@ -198,9 +202,9 @@ object Round6ax {
          |    THEN t.byte_len ELSE 0 END) AS BIGINT) AS bytes_near_dropped,
          |  CAST(SUM(CASE WHEN NOT t.exact_dup AND nr.media_id IS NULL
          |    THEN t.byte_len ELSE 0 END) AS BIGINT) AS bytes_kept,
-         |  (CAST(SUM(CASE WHEN NOT t.exact_dup AND nr.media_id IS NULL
-         |    THEN t.byte_len ELSE 0 END) AS BIGINT) * $Fx)
-         |    // CAST(SUM(t.byte_len) AS BIGINT) AS keep_fx
+         |  CAST((CAST(SUM(CASE WHEN NOT t.exact_dup AND nr.media_id IS NULL
+         |    THEN t.byte_len ELSE 0 END) AS HUGEINT) * $Fx)
+         |    // CAST(SUM(t.byte_len) AS BIGINT) AS BIGINT) AS keep_fx
          |FROM tagged t LEFT JOIN nr ON nr.media_id = t.media_id
          |GROUP BY t.source ORDER BY t.source""".stripMargin)
 }

@@ -56,8 +56,11 @@ object Round6ba {
               .cast("long").as("bytes_rewritten"))
           .select(lit(strategy).as("strategy"), col("n_shards"),
             col("shards_touched"), col("bytes_changed"), col("bytes_rewritten"))
+          // decimal staging (r13 sf1 audit class): shard byte sums
+          // cross the int64 Fx-multiply cliff at ~10^12 bytes
           .withColumn("amp_fx",
-            expr(s"(bytes_rewritten * $Fx) div greatest(bytes_changed, 1)"))
+            expr(s"(CAST(bytes_rewritten AS DECIMAL(20,0)) * $Fx) " +
+              "div greatest(bytes_changed, 1)"))
       }
       arm("hash", "hash_shard").unionByName(arm("range", "range_shard"))
         .orderBy(col("strategy"))
@@ -72,9 +75,10 @@ object Round6ba {
            |  CAST(SUM(changed_bytes) AS BIGINT) AS bytes_changed,
            |  CAST(SUM(CASE WHEN touched = 1 THEN shard_bytes ELSE 0 END)
            |    AS BIGINT) AS bytes_rewritten,
-           |  (CAST(SUM(CASE WHEN touched = 1 THEN shard_bytes ELSE 0 END)
-           |    AS BIGINT) * $Fx)
-           |    // greatest(CAST(SUM(changed_bytes) AS BIGINT), 1) AS amp_fx
+           |  CAST((CAST(SUM(CASE WHEN touched = 1 THEN shard_bytes ELSE 0 END)
+           |    AS HUGEINT) * $Fx)
+           |    // greatest(CAST(SUM(changed_bytes) AS BIGINT), 1)
+           |    AS BIGINT) AS amp_fx
            |FROM (
            |  SELECT $shardExpr AS shard,
            |    CAST(SUM(bytes) AS BIGINT) AS shard_bytes,

@@ -112,9 +112,14 @@ object Round7b {
           sum(col("cents")).cast("long").as("spend_cents"))
       val total = byDecile.agg(sum(col("spend_cents")).cast("long").as("total_cents"))
       byDecile.crossJoin(broadcast(total))
-        .withColumn("share_fx", expr(s"(spend_cents * $Fx) div total_cents"))
+        // decimal staging (r13 sf1 audit): spend sums are corpus-
+        // proportional, so the Fx multiply overflows int64 at 10x data
+        // (measured at sf1) — run it in DECIMAL(20,0), mirror with
+        // HUGEINT in the oracle; `div` keeps the BIGINT share.
+        .withColumn("share_fx",
+          expr(s"(CAST(spend_cents AS DECIMAL(20,0)) * $Fx) div total_cents"))
         .withColumn("cum_share_fx",
-          expr(s"(sum(spend_cents) over (order by decile rows between unbounded preceding and current row) * $Fx) div total_cents"))
+          expr(s"(CAST(sum(spend_cents) over (order by decile rows between unbounded preceding and current row) AS DECIMAL(20,0)) * $Fx) div total_cents"))
         .withColumn("lift_fx", col("share_fx") * 10L)
         .select(col("decile"), col("n_customers"), col("spend_cents"),
           col("share_fx"), col("cum_share_fx"), col("lift_fx"))
@@ -191,11 +196,13 @@ object Round7b {
          |  FROM ranked GROUP BY 1),
          |t AS (SELECT CAST(SUM(spend_cents) AS BIGINT) AS total_cents FROM d)
          |SELECT decile, n_customers, spend_cents,
-         |  (spend_cents * $Fx) // total_cents AS share_fx,
-         |  CAST((SUM(spend_cents) OVER (ORDER BY decile
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * $Fx)
-         |    // total_cents AS BIGINT) AS cum_share_fx,
-         |  (spend_cents * $Fx) // total_cents * 10 AS lift_fx
+         |  CAST((CAST(spend_cents AS HUGEINT) * $Fx) // total_cents
+         |    AS BIGINT) AS share_fx,
+         |  CAST((CAST(SUM(spend_cents) OVER (ORDER BY decile
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+         |    * $Fx) // total_cents AS BIGINT) AS cum_share_fx,
+         |  CAST((CAST(spend_cents AS HUGEINT) * $Fx) // total_cents * 10
+         |    AS BIGINT) AS lift_fx
          |FROM d CROSS JOIN t ORDER BY decile""".stripMargin,
 
     "tx35_stopword_profile" -> {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
+import graft.functions.Hashing
 
 /** Core analytics operators over the TPC-H-ish tables.
   *
@@ -149,17 +150,41 @@ object CoreAnalytics {
         .orderBy(col("l_linestatus"))
     },
 
-    // HLL-sketch distinct counts (approx_count_distinct): the 100 TB
-    // path for q08-style exact distincts. No DuckDB oracle (different
-    // sketch implementations) → driver's rows-only check; the spec
-    // asserts the ±5% envelope against exact counts.
+    // HLL-sketch distinct counts — the 100 TB path for q08-style
+    // exact distincts, as a register-exact RELATIONAL HyperLogLog
+    // (Sketch.hllDistinct) on the cross-engine hash: unlike the
+    // native approx_count_distinct sketch (engine-private bytes,
+    // rows-only checkable), every register and the estimate itself
+    // replay bit-for-bit in the DuckDB oracle. The exact distinct
+    // and the signed fixed-point error ride alongside, so the gate
+    // also value-checks the estimator's accuracy at every SF (raw
+    // regime: lineitem orderkeys per returnflag ≥ 2m from sf0.001
+    // up). The native-HLL envelope stays spec-asserted
+    // (QueriesSmokeSpec) — this query gates the sketch MATH.
     "q13_approx_distinct" -> { (s, d) =>
-      Tables.orders(s, d)
-        .groupBy(col("o_orderpriority"))
-        .agg(
-          approx_count_distinct(col("o_custkey")).as("approx_customers"),
-          countDistinct(col("o_custkey")).as("exact_customers"))
-        .orderBy(col("o_orderpriority"))
+      // one distinct-key shuffle feeds BOTH the sketch and the exact
+      // truth column (registers are max-idempotent, so hashing after
+      // the distinct is exact); barriered — the two consumers are
+      // column-pruned twins AQE cannot dedupe, so without the
+      // materialization the fact scan + distinct would run twice
+      val keys = Dedup.barrier(Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey")).distinct())
+      val est = Sketch.hllDistinct(
+        keys.select(col("l_returnflag"),
+          Hashing.hash64(col("l_orderkey").cast("string")).as("hv")),
+        Seq(col("l_returnflag")), col("hv"))
+        .withColumnRenamed("est", "hll_orders")
+      val exact = keys.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("long").as("exact_orders"))
+      est.join(exact, Seq("l_returnflag"))
+        // decimal staging: corpus-proportional counts × 10^6 (q40's
+        // overflow class) — exact 128-bit multiply, div keeps BIGINT
+        .withColumn("err_fx", expr(
+          "(CAST(hll_orders - exact_orders AS DECIMAL(20,0)) * 1000000)" +
+            " div exact_orders"))
+        .select(col("l_returnflag"), col("n_buckets"), col("hll_orders"),
+          col("exact_orders"), col("err_fx"))
+        .orderBy(col("l_returnflag"))
     },
 
     // window-function suite: lead/lag/ntile/percent_rank in one pass
@@ -483,6 +508,43 @@ object CoreAnalytics {
         |JOIN part     ON l_partkey = p_partkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE p_size < 15 AND p_type = 'ECONOMY'
-        |GROUP BY s_name, p_brand ORDER BY s_name, p_brand""".stripMargin
+        |GROUP BY s_name, p_brand ORDER BY s_name, p_brand""".stripMargin,
+
+    // the relational HLL replayed register-for-register: same hash,
+    // same 9/51-bit split, same scaled harmonic sum (HUGEINT = the
+    // DECIMAL(38,0) twin), same fixed-point estimate arithmetic
+    "q13_approx_distinct" -> {
+      val m = Sketch.HllM
+      val rm = Sketch.HllRMax
+      val num = Sketch.HllNum
+      s"""WITH h AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    ${Hashing.duckHash64("CAST(l_orderkey AS VARCHAR)")} AS hv
+         |  FROM lineitem),
+         |reg AS (
+         |  SELECT l_returnflag, hv % $m AS bucket,
+         |    MAX(CASE WHEN hv // $m = 0 THEN $rm
+         |        ELSE $rm - length(bin(hv // $m)) END) AS mj
+         |  FROM h GROUP BY 1, 2),
+         |s AS (
+         |  SELECT l_returnflag,
+         |    CAST(SUM(CAST(1 AS BIGINT) << ($rm - mj)) AS BIGINT)
+         |      + ($m - COUNT(*)) * (CAST(1 AS BIGINT) << $rm) AS ssum,
+         |    CAST(COUNT(*) AS BIGINT) AS n_buckets
+         |  FROM reg GROUP BY 1),
+         |ex AS (
+         |  SELECT l_returnflag,
+         |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+         |  FROM lineitem GROUP BY 1),
+         |est AS (
+         |  SELECT l_returnflag, n_buckets,
+         |    CAST(CAST('$num' AS HUGEINT) // ssum // 1000000 AS BIGINT)
+         |      AS hll_orders, exact_orders
+         |  FROM s JOIN ex USING (l_returnflag))
+         |SELECT l_returnflag, n_buckets, hll_orders, exact_orders,
+         |  CAST((CAST(hll_orders - exact_orders AS HUGEINT) * 1000000)
+         |    // exact_orders AS BIGINT) AS err_fx
+         |FROM est ORDER BY l_returnflag""".stripMargin
+    }
   )
 }

@@ -14,8 +14,8 @@ import graft.functions.Hashing
   * |partitions| × |consumers| exploded rows — all bounded, the fact
   * table is touched once. q61's bottom-k runs through Rank.topKByKey
   * (salted, no whole-group sort task); the estimate arithmetic is
-  * pure integer against the 2^60 hash space, so unlike HLL (q13,
-  * rows-only by design) this sketch is EXACTLY oracle-gated.
+  * pure integer against the 2^60 hash space — EXACTLY oracle-gated,
+  * like q13's relational HLL (Sketch.hllDistinct) since round 13.
   */
 object Round6ah {
 

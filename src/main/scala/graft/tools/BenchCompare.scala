@@ -23,6 +23,10 @@ package graft.tools
   *
   * Usage: runMain graft.tools.BenchCompare <committed.json> <fresh.json>
   *          [envelope=0.20|auto] [minAbsSec=0.40] [recheckSfDir]
+  * SPARK_GRAFT_BENCH_CHANGED=q13,... declares queries whose
+  * computation intentionally changed this round: excluded from
+  * pass/fail (no like-for-like baseline exists) but reported with
+  * both numbers under `changed` — undeclared changes still fail.
   * Prints one JSON verdict line; exits 1 if any regression survives
   * the envelope (so a gated sbt invocation fails loudly).
   *
@@ -149,6 +153,14 @@ object BenchCompare {
     (reg, imp, invalid)
   }
 
+  /** Partition flags into (adjudicable, declared-changed): a query
+    * in the declared semantic-change set has no like-for-like
+    * baseline, so its delta never adjudicates — in either direction.
+    */
+  def splitChanged(deltas: Seq[Delta],
+      changed: Set[String]): (Seq[Delta], Seq[Delta]) =
+    deltas.partition(d => !changed.contains(d.q))
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchCompare <committed.json> <fresh.json> [envelope|auto] " +
@@ -167,7 +179,23 @@ object BenchCompare {
     }
     val oldQ = parseQueries(oldJson)
     val newQ = parseQueries(newJson)
-    val (lapFlags, imp, invalid) = compare(oldQ, newQ, envelope, minAbs)
+    // Declared semantic changes (SPARK_GRAFT_BENCH_CHANGED=q13,dd03):
+    // a query whose COMPUTATION was intentionally changed this round
+    // has no like-for-like baseline, so its delta is not a
+    // regression signal. Declared ids are excluded from pass/fail
+    // but always land in the artifact with both numbers (`changed`)
+    // — an undeclared change still fails the gate, and a declared
+    // one is auditable, never silently dropped.
+    val changedIds = sys.env.get("SPARK_GRAFT_BENCH_CHANGED")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val changed = changedIds.toSeq.sorted
+      .filter(q => oldQ.contains(q) && newQ.contains(q))
+      .map(q => Delta(q, oldQ(q), newQ(q)))
+    val (lapFlagsAll, impAll, invalid) = compare(oldQ, newQ, envelope, minAbs)
+    val (lapFlags, _) = splitChanged(lapFlagsAll, changedIds)
+    // a declared change is not an improvement claim either
+    val (imp, _) = splitChanged(impAll, changedIds)
     // Mechanical adjudication (VERDICT r12 #1): with a recheck dir,
     // every lap flag is re-measured focused (SAMPLES=7, fresh warmed
     // bench-contract JVM — the runbook's manual recheck, executed by
@@ -217,6 +245,7 @@ object BenchCompare {
         s""""total_old":${math.round(totOld * 10) / 10.0},""" +
         s""""total_new":${math.round(totNew * 10) / 10.0},""" +
         recheckJson +
+        s""""changed":${fmt(changed)},""" +
         s""""regressions":${fmt(reg)},"improvements":${fmt(imp)},""" +
         s""""invalid":${invalid.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     if (reg.nonEmpty) sys.exit(1)

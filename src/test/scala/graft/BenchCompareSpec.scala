@@ -49,6 +49,24 @@ class BenchCompareSpec extends AnyFunSuite {
     assert(imp.map(_.q).toSet === Set("ev51", "ev48"))
   }
 
+  test("declared semantic changes never adjudicate; undeclared still fail") {
+    // the r13 q13 case: the query was intentionally restated (native
+    // HLL → oracle-exact relational sketch), 0.49→1.18 s — a real
+    // delta with no like-for-like baseline
+    val old = Map("q13" -> 0.49, "dd33" -> 3.90)
+    val fresh = Map("q13" -> 1.18, "dd33" -> 5.50)
+    val (reg, _, _) = BenchCompare.compare(old, fresh, env, minAbs)
+    val (adjudicable, changed) = BenchCompare.splitChanged(reg, Set("q13"))
+    assert(changed.map(_.q) === Seq("q13"), "declared change is set aside")
+    assert(adjudicable.map(_.q) === Seq("dd33"),
+      "an undeclared regression still adjudicates")
+    // and a declared change is not an improvement claim either
+    val (_, impD) = BenchCompare.splitChanged(
+      BenchCompare.compare(Map("q13" -> 1.18), Map("q13" -> 0.49),
+        env, minAbs)._2, Set("q13"))
+    assert(impD.map(_.q) === Seq("q13"))
+  }
+
   test("failed samples (-1) adjudicate as invalid, not as wins") {
     val old = Map("q5" -> 1.0)
     val fresh = Map("q5" -> -1.0)

@@ -341,5 +341,6 @@ object Bench {
     "ev44_stream_hourly_actives", "ev45_stream_asof_census",
     "ev46_stream_compact", "ev47_stream_rate_limit", "ev48_stream_neardup",
     "ev49_stream_interval_join", "ev50_stream_upsert_sink",
-    "ev51_stream_sessions", "ev53_backfill_seam", "ev73_lake_stream_ingest")
+    "ev51_stream_sessions", "ev53_backfill_seam", "ev73_lake_stream_ingest",
+    "ev83_stream_tws_sessions", "ev84_stream_tws_first_seen")
 }

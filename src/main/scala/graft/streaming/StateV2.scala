@@ -52,6 +52,26 @@ object StateV2 {
     }
   }
 
+  /** The shared session fold: advance `st` by one batch of events,
+    * returning the sessions a successor closed — one logic for every
+    * sessionizing processor so parity is structural, not coincidental.
+    */
+  private def advanceSessions(st: ValueState[SessionState], user: Long,
+      rows: Iterator[SessionEvent], gapSec: Long): Iterator[SessionOut] = {
+    val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
+    var cur = if (st.exists()) st.get() else SessionState(-1, -1, 0)
+    val closed = scala.collection.mutable.ListBuffer[SessionOut]()
+    sorted.foreach { t =>
+      if (cur.start < 0) cur = SessionState(t, t, 1)
+      else if (t - cur.last > gapSec) {
+        closed += SessionOut(user, cur.n, cur.last - cur.start)
+        cur = SessionState(t, t, 1)
+      } else cur = cur.copy(last = t, n = cur.n + 1)
+    }
+    st.update(cur)
+    closed.iterator
+  }
+
   /** The [[StreamJobs.sessionize]] gap sessionizer on the v2 engine:
     * one `ValueState[SessionState]` per user, emissions = sessions a
     * successor event closed. TimeMode.None — the bounded-replay cut
@@ -67,20 +87,45 @@ object StateV2 {
         "session", Encoders.product[SessionState], TTLConfig.NONE)
 
     override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
-        timers: TimerValues): Iterator[SessionOut] = {
-      val sorted = rows.map(_.ts.getTime / 1000).toSeq.sorted
-      var cur = if (st.exists()) st.get() else SessionState(-1, -1, 0)
-      val closed = scala.collection.mutable.ListBuffer[SessionOut]()
-      sorted.foreach { t =>
-        if (cur.start < 0) cur = SessionState(t, t, 1)
-        else if (t - cur.last > gapSec) {
-          closed += SessionOut(user, cur.n, cur.last - cur.start)
-          cur = SessionState(t, t, 1)
-        } else cur = cur.copy(last = t, n = cur.n + 1)
-      }
-      st.update(cur)
-      closed.iterator
-    }
+        timers: TimerValues): Iterator[SessionOut] =
+      advanceSessions(st, user, rows, gapSec)
+  }
+
+  /** [[SessionProcessor]] seeded with migrated state — the v1→v2
+    * migration target: state dumped from a flatMapGroupsWithState
+    * checkpoint by [[StateInspect]] loads into the v2 store before
+    * the first batch, and processing continues as if the v1 job had
+    * never stopped (StateV2Spec proves emission-for-emission
+    * continuation equality).
+    */
+  class MigratedSessionProcessor(gapSec: Long)
+      extends StatefulProcessorWithInitialState[
+        Long, SessionEvent, SessionOut, SessionState] {
+    @transient private var st: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, s0: SessionState,
+        timers: TimerValues): Unit = st.update(s0)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timers: TimerValues): Iterator[SessionOut] =
+      advanceSessions(st, user, rows, gapSec)
+  }
+
+  /** Continue sessionizing FROM migrated per-key state (see
+    * [[MigratedSessionProcessor]]).
+    */
+  def sessionizeTwsFrom(events: Dataset[SessionEvent],
+      initial: Dataset[(Long, SessionState)],
+      gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState[SessionOut, SessionState](
+        new MigratedSessionProcessor(gapSec), TimeMode.None(),
+        OutputMode.Append(), initial.groupByKey(_._1).mapValues(_._2))
   }
 
   /** The live-deployment variant: an EVENT-TIME timer at

@@ -154,6 +154,10 @@ object PlanDump {
 
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional focus list (r13 optimization round): any names after the
+    // data dir dump ONLY those queries — the before/after plan
+    // artifacts in plans/r13/ are cut from these dumps
+    val names = if (args.length > 1) args.drop(1).toSeq else Representative
     val spark = SparkSession.builder().master("local[4]")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
@@ -161,7 +165,7 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    Representative.foreach { name =>
+    names.foreach { name =>
       println(s"========== $name ==========")
       println(graft.SparkEntry.queries(name)(spark, d).queryExecution
         .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

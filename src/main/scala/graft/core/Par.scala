@@ -26,4 +26,26 @@ object Par {
       .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
     if (n <= 0) df else df.repartition(n)
   }
+
+  /** Keyed scatter: hash-repartition on `keys` to the scatter
+    * parallelism with an EXPLICIT partition count. Two properties make
+    * this the right shape ahead of a groupBy/join whose reduce side is
+    * compute-bound (md5/array/dot kernels) but byte-light:
+    * (1) a partitioning on a subset of the downstream grouping/join
+    * keys satisfies its required distribution, so this REPLACES the
+    * exchange the operator would have planned — same shuffle count;
+    * (2) an explicit user partition count is exempt from AQE partition
+    * coalescing, which sizes partitions by BYTES and would otherwise
+    * fold a 2 MB / 2-CPU-seconds stage onto one task (measured: dd08
+    * 3.8 s → 2.2 s, dd15 3.5 s → 2.1 s at sf0.1 from exactly this).
+    * At 100 TB the same stages carry GBs and AQE would not coalesce
+    * them anyway; `spark.graft.scatter.partitions=0` restores the
+    * planner-owned exchange without touching operator code.
+    */
+  def scatterBy(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val s = df.sparkSession
+    val n = s.conf.getOption("spark.graft.scatter.partitions")
+      .map(_.toInt).getOrElse(s.sparkContext.defaultParallelism)
+    if (n <= 0) df else df.repartition(n, keys: _*)
+  }
 }

@@ -266,9 +266,14 @@ object Curation {
           .select(col("doc_id"), Dedup.shingleHashes(col("toks")).as("shs")))
       val dfreq = ds0.select(explode(col("shs")).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("dfc"))
-      val ds = Dedup.barrierAlso(ds0
-        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
-        .join(dfreq, Seq("h"))
+      // keyed scatter (r13 opt): the DF-order rebuild — collect_list +
+      // array_sort per doc — is compute-bound but byte-tiny, so AQE
+      // coalesced its exchange to ONE task (StageProbe: 1.5 s single-
+      // task stage). Partitioning on doc_id (a subset of the grouping
+      // keys) replaces the same exchange with an AQE-exempt count.
+      val ds = Dedup.barrierAlso(graft.core.Par.scatterBy(ds0
+          .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+          .join(dfreq, Seq("h")), col("doc_id"))
         .groupBy(col("doc_id"), col("n"))
         .agg(transform(array_sort(collect_list(struct(col("dfc"), col("h")))),
           x => x.getField("h")).as("shs"))
@@ -278,14 +283,22 @@ object Curation {
       // multiplied the shuffle by the doc size (measured 20 s → ~3 s
       // at sf0.1); the arrays rejoin from the barriered signature
       // table only for the surviving candidate id pairs
-      val pfx = ds.select(col("doc_id"), col("n"),
-        posexplode(slice(col("shs"), lit(1), col("pfx_len"))))
-        .withColumnRenamed("col", "p").withColumnRenamed("pos", "i")
+      // keyed scatter on the prefix-element key (r13 opt): the
+      // candidate self-join's exchanges are byte-tiny → AQE folded the
+      // position-filter + distinct stage to one task (StageProbe:
+      // 1.1 s). Both join sides derive from this frame, so one keyed
+      // scatter co-partitions the self-join at full parallelism with
+      // NO join-side exchanges (2 exchanges → 1 here).
+      val pfx = graft.core.Par.scatterBy(
+        ds.select(col("doc_id"), col("n"),
+          posexplode(slice(col("shs"), lit(1), col("pfx_len"))))
+          .withColumnRenamed("col", "p").withColumnRenamed("pos", "i"),
+        col("p"))
       val a = pfx.select(col("p"), col("doc_id").as("doc_a"),
         col("n").as("n_a"), col("i").as("ia"))
       val b = pfx.select(col("p"), col("doc_id").as("doc_b"),
         col("n").as("n_b"), col("i").as("ib"))
-      val cand = a.join(b, Seq("p"))
+      val cand0 = a.join(b, Seq("p"))
         .filter(col("doc_a") < col("doc_b"))
         // length-ratio pruning (implied by J >= t, so lossless)
         .filter(col("n_a") >= col("n_b") * t && col("n_b") >= col("n_a") * t)
@@ -303,9 +316,18 @@ object Curation {
         // shuffle, so the cut compounds at scale.
         .filter(lit(1) + least(col("n_a") - 1 - col("ia"), col("n_b") - 1 - col("ib"))
           >= expr("(n_a + n_b + 2) div 3"))
+      // keyed scatters through the verify (r13 opt): doc_a partitioning
+      // satisfies BOTH the pair distinct and the first array rejoin
+      // (subset of each key set), and the doc_b scatter replaces the
+      // second rejoin's exchange — so the per-pair IntersectCountExpr
+      // loop (the verify's real compute) keeps full parallelism
+      // instead of the one task AQE's byte-sized coalescing left it
+      val cand = graft.core.Par.scatterBy(cand0, col("doc_a"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      cand
-        .join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))
+      graft.core.Par.scatterBy(
+          cand.join(ds.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
+            Seq("doc_a")),
+          col("doc_b"))
         .join(ds.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")), Seq("doc_b"))
         .withColumn("n_common", graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")))
         .withColumn("jaccard", Det.trunc4(

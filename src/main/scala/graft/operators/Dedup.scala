@@ -371,6 +371,12 @@ object Dedup {
       col("vec_id").as("vec_a"))
     val b = banded.select(col("label"), col("band"), col("band_val"),
       col("vec_id").as("vec_b"))
+    // NOT scatterBy'd (r13 opt, measured negative): pinning the
+    // distinct's exchange at full parallelism read dd05 0.96 → 1.61 s
+    // and dd11 5.1 → 5.5 s in a controls-flat basket A/B — the
+    // verify's per-pair dot work here is too small (a few k candidate
+    // pairs) to pay for 32-task stages. The cold-run stage census
+    // flagged this spot, but the converged cost says leave it to AQE.
     a.join(b, Seq("label", "band", "band_val"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"))

@@ -237,21 +237,31 @@ object Round4b {
       val ds = Dedup.barrier(Dedup.docShingles(s, d))
       val dfreq = ds.select(explode(col("shs")).as("h"))
         .groupBy(col("h")).agg(count(lit(1)).as("dfc"))
-      val ordered = Dedup.barrierAlso(ds
-        .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
-        .join(dfreq, Seq("h"))
+      // keyed scatter (r13 opt, dd08's fix applied to the shared
+      // recipe): the per-doc collect_list + array_sort rebuild is
+      // compute-bound but byte-tiny — AQE folded it to one task
+      val ordered = Dedup.barrierAlso(graft.core.Par.scatterBy(ds
+          .select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("h"))
+          .join(dfreq, Seq("h")), col("doc_id"))
         .groupBy(col("doc_id"), col("n"))
         .agg(transform(array_sort(collect_list(struct(col("dfc"), col("h")))),
           x => x.getField("h")).as("oshs"))
         .withColumn("pfx_len",
           (col("n") - ceil(col("n") * lit(ContainT)) + 1).cast("int")))
-      val aPfx = ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
-        posexplode(slice(col("oshs"), lit(1), col("pfx_len"))))
-        .withColumnRenamed("col", "h").withColumnRenamed("pos", "ia")
-      val bAll = ordered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
-        posexplode(col("oshs")))
-        .withColumnRenamed("col", "h").withColumnRenamed("pos", "jb")
-      val cand = aPfx.join(bAll, Seq("h"))
+      // keyed scatter on the element key (r13 opt): the prefix ⋈
+      // inverted-index join reads co-partitioned AQE-exempt sides, so
+      // the position-filter + distinct stage keeps full parallelism
+      val aPfx = graft.core.Par.scatterBy(
+        ordered.select(col("doc_id").as("doc_a"), col("n").as("n_a"),
+          posexplode(slice(col("oshs"), lit(1), col("pfx_len"))))
+          .withColumnRenamed("col", "h").withColumnRenamed("pos", "ia"),
+        col("h"))
+      val bAll = graft.core.Par.scatterBy(
+        ordered.select(col("doc_id").as("doc_b"), col("n").as("n_b"),
+          posexplode(col("oshs")))
+          .withColumnRenamed("col", "h").withColumnRenamed("pos", "jb"),
+        col("h"))
+      val cand0 = aPfx.join(bAll, Seq("h"))
         .filter(col("doc_a") =!= col("doc_b"))
         // position filter, containment form: every common element sits
         // at or after the FIRST shared one in both DF-ordered
@@ -262,12 +272,18 @@ object Round4b {
         // so recall is untouched; the all-pairs oracle re-proves it.
         .filter(least(col("n_a") - col("ia"), col("n_b") - col("jb"))
           >= expr("(4 * n_a + 4) div 5"))
-        .select(col("doc_a"), col("doc_b")).distinct()
       // verify rejoins the BARRIERED ordered frame (same element sets,
       // DF order — intersection cardinality is order-free), so the
-      // shingle+DF pipeline runs exactly once per query
-      cand
-        .join(ordered.select(col("doc_id").as("doc_a"), col("oshs").as("sh_a")), Seq("doc_a"))
+      // shingle+DF pipeline runs exactly once per query. Keyed
+      // scatters keep the per-pair intersect loop parallel (dd08's
+      // r13 fix): doc_a satisfies the distinct AND the first rejoin,
+      // doc_b replaces the second rejoin's exchange.
+      val cand = graft.core.Par.scatterBy(cand0, col("doc_a"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      graft.core.Par.scatterBy(
+          cand.join(ordered.select(col("doc_id").as("doc_a"), col("oshs").as("sh_a")),
+            Seq("doc_a")),
+          col("doc_b"))
         .join(ordered.select(col("doc_id").as("doc_b"), col("oshs").as("sh_b")), Seq("doc_b"))
         .withColumn("containment", Det.trunc4(
           graft.functions.IntersectCountExpr(col("sh_a"), col("sh_b")).cast("double") /

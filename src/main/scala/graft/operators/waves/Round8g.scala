@@ -28,6 +28,12 @@ object Round8g {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- ss35: nlist cost/recall sweep ------------------------------------
     "ss35_nlist_sweep" -> { (s, d) =>
+      // NOT scattered (r13 opt, measured negative): unlike ss37's
+      // O(n²) pair stage, ss35's two cos passes are O(n·|panel|) and
+      // O(n·16) — scattering the corpus read 2.16 → 2.76 s in a
+      // controls-flat basket A/B (32-task overhead across ~40 tiny
+      // stages outweighs the parallelized dots at this arithmetic
+      // intensity)
       val e = Dedup.barrier(Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .withColumn("norm", Similarity.l2norm(col("emb"))))

@@ -86,10 +86,16 @@ object Round8m {
     // guard's broadcast build fires at the FIRST action, before the
     // quadratic join streams (ADVICE r10).
     "ss37_hubness" -> { (s, d) =>
-      val e = Dedup.barrier(Tables.embeddings(s, d)
+      // scatter (r13 opt): the barriered corpus otherwise keeps the
+      // single-row-group scan's ONE partition, and the O(n²)
+      // BroadcastNestedLoopJoin + dot + WindowGroupLimit all run on
+      // one core (StageProbe: a 3.8 s single-task stage = most of the
+      // query). Round-robin the 2k rows first; the quadratic stage
+      // then uses every core. Guide §2.6 (idle capacity).
+      val e = Dedup.barrier(graft.core.Par.scatter(Tables.embeddings(s, d)
         .select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
-        .withColumn("norm", Similarity.l2norm(col("emb"))))
+        .withColumn("norm", Similarity.l2norm(col("emb")))))
       val guard = broadcast(e.agg(count(lit(1)).cast("long").as("n_corpus"))
         .select(when(col("n_corpus") <= HubnessExactCap, lit(1L))
           .otherwise(raise_error(concat(

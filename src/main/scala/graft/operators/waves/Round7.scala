@@ -122,8 +122,13 @@ object Round7 {
     // emit_info wiring or validation flips the gate.
     "ev72_lake_ingest" -> { (s, d) =>
       val messages = encodeMessages(s, d)
+      // scatter the block documents before the schema walk (r13 opt):
+      // the per-block from_json over the full StreamerMessage schema
+      // is the query's real compute, and the encode's grouped output
+      // otherwise parses on the handful of coalesced shard partitions
+      // (StageProbe: a 5-task 2.3 s stage + a 1-task 0.9 s stage)
       ingestCensus(EventStreams.validated(EventStreams.extractEvents(
-        LakeIngest.outcomeLogs(messages, col("value")))))
+        LakeIngest.outcomeLogs(graft.core.Par.scatter(messages), col("value")))))
     },
 
     // --- ev73: lake ingest through the STREAMING reader -------------------

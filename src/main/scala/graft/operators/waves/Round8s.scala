@@ -71,6 +71,12 @@ object Round8s {
         .agg(sum(col("w")).cast("long").as("wsum"),
           count(lit(1)).cast("long").as("nsh"))
       val banded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
+      // NOT scatterBy'd (r13 opt, measured negative): dd08's keyed-
+      // scatter recipe applied here read 4.1 → 4.7/7.4 s in an
+      // alternating process-level A/B — at runtime AQE broadcast-joins
+      // the small pair/weight frames, so the intersection compute
+      // already runs on the posting list's full parallelism and the
+      // explicit repartitions only forced shuffle layouts back in.
       val cands = banded
         .select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
         .join(banded.select(col("band"), col("band_hash"),

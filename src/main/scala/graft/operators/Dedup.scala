@@ -111,11 +111,20 @@ object Dedup {
     * exactly the banding the full join uses. NOT barriered here —
     * callers own materialization (barrier is a single-slot cache).
     */
-  private[graft] def bandedSignatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandedSignatures(s: SparkSession, d: String): DataFrame =
+    bandedSignaturesOf(docShingles(s, d))
+
+  /** Frame-input variant (r13 opt): queries that already hold a
+    * barriered shingle table pass it here so the banded build reads
+    * the CACHE — the (s, d) overload rebuilds the split+md5 shingle
+    * lineage from the scan, and dd32/dd33/dd36/dd37/dd44's barriers
+    * were silently running that pipeline twice per query.
+    */
+  private[graft] def bandedSignaturesOf(shingles: DataFrame): DataFrame = {
     // one fused signature pass (MinhashSigExpr), bands sliced out of
     // the array — the shingle array is traversed once per doc, not
     // once per hash family
-    val sig = docShingles(s, d)
+    val sig = shingles
       .select(col("doc_id"), minhashSig(col("shs")).as("_sig"))
     sig.select(col("doc_id"), posexplode(array(bandHashCols(col("_sig")): _*)))
       .withColumnRenamed("pos", "band")

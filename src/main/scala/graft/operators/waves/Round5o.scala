@@ -49,7 +49,11 @@ object Round5o {
     // arrays rejoin only for the bounded candidate set (the dd08
     // slim-join lesson).
     "dd23_capped_banding" -> { (s, d) =>
-      val banded = Dedup.barrier(Dedup.bandedSignatures(s, d))
+      // r13 opt: barrier the shingle table FIRST and band off the
+      // cache — banding and the exact-Jaccard rejoin were each
+      // running their own split+md5 shingle lineage
+      val shs = Dedup.barrier(Dedup.docShingles(s, d))
+      val banded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shs))
       val occ = banded.groupBy(col("band"), col("band_hash"))
         .agg(count(lit(1)).as("occ"))
       val bucketCensus = occ.agg(
@@ -68,8 +72,8 @@ object Round5o {
       val cappedPairs = pairsOf(banded.join(kept, Seq("band", "band_hash")))
         .withColumn("kept", lit(1L))
       // exact Jaccard only for the bounded full candidate set: slim
-      // pair ids joined back to the barriered shingle arrays
-      val shs = Dedup.barrierAlso(Dedup.docShingles(s, d))
+      // pair ids joined back to the barriered shingle arrays (shs,
+      // barriered above)
       val flagged = fullPairs
         .join(cappedPairs, Seq("doc_a", "doc_b"), "left")
         .join(shs.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")), Seq("doc_a"))

@@ -71,7 +71,7 @@ object Round6ab {
       val shingled = Dedup.barrier(Dedup.docShingles(s, d))
       // materialized like dd03's: the l/r self-join would otherwise
       // evaluate the signature pipeline twice (generate-trap lint)
-      val banded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
+      val banded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shingled))  // r13 opt: read the barriered shingle cache, not a second md5 lineage
       val l = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_a"))
       val r = banded.select(col("band"), col("band_hash"), col("doc_id").as("doc_b"))
       val pairs = l.join(r, Seq("band", "band_hash"))

@@ -35,9 +35,13 @@ object Round6af {
     // from the diagonal — the bitemporal drift a single-clock system
     // cannot even express.
     "q60_bitemporal_grid" -> { (s, d) =>
-      val ev = Tables.events(s, d)
+      // scatter (r13 opt): the 16-cell grid join is a
+      // BroadcastNestedLoopJoin with a 16x fanout + per-cell max_by
+      // fold, and it inherits the events scan's ONE partition
+      // (StageProbe: a 1.25 s single-task stage = most of the query)
+      val ev = graft.core.Par.scatter(Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("value"),
-          expr("unix_micros(ts)").as("us"))
+          expr("unix_micros(ts)").as("us")))
       val bounds = ev.agg(
         min(col("us")).as("vlo"), max(col("us")).as("vhi"),
         min(col("event_id")).as("tlo"), max(col("event_id")).as("thi"))

@@ -32,7 +32,7 @@ object Round6ag {
     // the mean Jaccard — the method-choice page, measured.
     "dd33_method_agreement" -> { (s, d) =>
       val shingled = Dedup.barrier(Dedup.docShingles(s, d))
-      val mhBanded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
+      val mhBanded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shingled))  // r13 opt: read the barriered shingle cache, not a second md5 lineage
       // Tagged DISTINCT pair streams + one aggregate (round 11,
       // VERDICT r10 #2): the full-outer sorted both pair frames; a
       // tagged union classified by ONE hash aggregate does the same

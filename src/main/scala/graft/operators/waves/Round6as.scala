@@ -79,6 +79,10 @@ object Round6as {
     // (agreeing components / 16) vs dd16-style exact, and the error
     // — mergeability priced on real data.
     "dd35_source_sketch" -> { (s, d) =>
+      // NOT scatterBy'd (r13 opt, measured negative): pinning the
+      // distinct at full parallelism read 1.59 → 2.02/1.75 s in an
+      // alternating A/B — the 16-hash fold over the cached table is
+      // lighter than 32-task scheduling across this query's stages.
       val sg = Dedup.barrier(Tables.documents(s, d)
         .withColumn("toks", TextAnalysis.tokens(col("text")))
         .filter(size(col("toks")) >= 3)

@@ -33,7 +33,7 @@ object Round6au {
     // keeper policy (dd10/dd30) matters most.
     "dd36_transitivity" -> { (s, d) =>
       val shingled = Dedup.barrier(Dedup.docShingles(s, d))
-      val banded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
+      val banded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shingled))  // r13 opt: read the barriered shingle cache, not a second md5 lineage
       val cand = banded.select(col("band"), col("band_hash"),
           col("doc_id").as("doc_a"))
         .join(banded.select(col("band"), col("band_hash"),

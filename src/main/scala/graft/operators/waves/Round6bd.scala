@@ -31,7 +31,7 @@ object Round6bd {
     "dd37_estimator_ci" -> { (s, d) =>
       val shingled = Dedup.barrier(Dedup.docShingles(s, d)
         .withColumn("sig", Dedup.minhashSig(col("shs"))))
-      val banded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
+      val banded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shingled))  // r13 opt: read the barriered shingle cache, not a second md5 lineage
       val pairs = banded.select(col("band"), col("band_hash"),
           col("doc_id").as("doc_a"))
         .join(banded.select(col("band"), col("band_hash"),

@@ -42,6 +42,12 @@ object Round8 {
           col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
           Seq("band", "bval"))
         .filter(col("doc_a") < col("doc_b"))
+        // keyed scatter (r13 opt): the per-pair fold, the 4-cap
+        // explode and the sweep's partial aggregates all sit in the
+        // stage after this exchange — byte-tiny, so AQE coalesced the
+        // whole 2.8 s of compute onto ONE task (StageProbe). doc_a is
+        // a subset of the grouping keys: same shuffle, AQE-exempt.
+        .transform(df => graft.core.Par.scatterBy(df, col("doc_a")))
         .groupBy(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
         .agg(min(col("occ")).as("min_occ"),
           max(when(col("hub") === col("doc_a"), col("occ"))).as("hub_occ"))

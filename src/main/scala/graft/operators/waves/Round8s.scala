@@ -70,7 +70,7 @@ object Round8s {
       val docw = wsh.groupBy(col("doc_id"))
         .agg(sum(col("w")).cast("long").as("wsum"),
           count(lit(1)).cast("long").as("nsh"))
-      val banded = Dedup.barrierAlso(Dedup.bandedSignatures(s, d))
+      val banded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shArr))  // r13 opt: read the barriered shingle cache, not a second md5 lineage
       // NOT scatterBy'd (r13 opt, measured negative): dd08's keyed-
       // scatter recipe applied here read 4.1 → 4.7/7.4 s in an
       // alternating process-level A/B — at runtime AQE broadcast-joins

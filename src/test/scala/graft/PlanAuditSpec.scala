@@ -550,7 +550,13 @@ class PlanAuditSpec extends SparkSpec {
     val s = planString("ev72_lake_ingest")
     assert(!s.contains("Join"), s)
     assert("Generate explode".r.findAllIn(s).size >= 3, s)
-    assert("Exchange".r.findAllIn(s).size <= 5, s)
+    // budget 6 (was 5): r13 opt adds ONE deliberate round-robin
+    // scatter between the encoded block documents and the from_json
+    // schema walk — the walk is the query's dominant compute and
+    // otherwise inherits the encode's coalesced handful of partitions
+    // (2.97 -> 2.23 s at sf0.1). Still join-free; the decode chain
+    // itself still contributes zero exchanges.
+    assert("Exchange".r.findAllIn(s).size <= 6, s)
   }
 
   test("dd02/dd12 min-shingle candidates run under the hot-bucket cap") {

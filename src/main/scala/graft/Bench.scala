@@ -323,19 +323,55 @@ object Bench {
     }
     // The driver's artifact keeps only the LAST ~2000 chars of output;
     // at 168+ queries the full map line above no longer fits, so the
-    // round-5 artifact lost the headline total (parsed: null). The
-    // FINAL line is therefore a compact ≤500-char digest — same
-    // "metric" schema so any last-JSON-line parser still finds the
-    // total, with the 5 slowest queries instead of the full map.
-    val slowest = mins.sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms2(v) }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","n":${mins.size},""" +
-        s""""batch":${laneJson(batchMins)},"stream":${laneJson(streamMins)},""" +
-        s""""queries":$slowest,"slowest":$slowest,""" +
-        s""""load":[$load0,$loadAvg],"idle0":$idle0,"jvms":[$jvms0,$otherJvms],"reruns":$nRerun,"contended":$contended,"sf":"$sfTag"}""")
+    // round-5 artifact lost the headline total (parsed: null) — and
+    // the r13 digest's 5-slowest-only "queries" map left the driver's
+    // per-query comparison empty for 13 straight rounds (VERDICT r13
+    // #2). Measurement-OUTPUT fix, r14: the FINAL line now also
+    // carries ALL per-query times as a fixed-order value array —
+    // "order":"alpha" declares the order (query full names sorted
+    // ascending, exactly the order this lap ran and the order of
+    // SparkEntry.queries keys sorted), "v" holds min-seconds at 2
+    // decimals with trailing zeros trimmed (~5 B/query → ~1.7 KB for
+    // 343). The timing loop is untouched; the full name→sec map still
+    // prints above and persists in the bench_full sidecar. Fields
+    // that also live on the full line (lanes, load stamps) move off
+    // the final line to keep it inside the driver's 2000-char tail
+    // next to sbt's closing "[success]" line; if a degenerate lap
+    // still overflows ~1900 chars, values degrade to 1 decimal.
+    println(digestJson(mins, total, sfTag))
     spark.stop()
+  }
+
+  /** The FINAL digest line (the one inside the driver's 2000-char
+    * tail). `mins` must be in query-name-ascending order — the order
+    * the lap runs and the meaning of "order":"alpha". Values are
+    * min-seconds at 2 decimals, trailing zeros trimmed (~5 B/query);
+    * a degenerate lap that would overflow ~1900 chars degrades to 1
+    * decimal rather than truncate mid-JSON.
+    */
+  def digestJson(mins: Seq[(String, Double)], total: Double, sfTag: String): String = {
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    def r2(v: Double): Double = math.round(v * 100) / 100.0
+    def fmtTrim(v: Double, decimals: Int): String = {
+      val p = math.pow(10, decimals)
+      val r = math.round(v * p) / p
+      if (r == math.rint(r)) r.toLong.toString
+      else {
+        val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(r))
+        if (decimals == 2 && s.endsWith("0")) s.dropRight(1) else s
+      }
+    }
+    val slowest = mins.sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    def line(decimals: Int): String = {
+      val vArr = mins.map { case (_, v) => fmtTrim(v, decimals) }
+        .mkString("[", ",", "]")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${mins.size},""" +
+        s""""queries":$slowest,"order":"alpha","v":$vArr,"sf":"$sfTag"}"""
+    }
+    val d2 = line(2)
+    if (d2.length <= 1900) d2 else line(1)
   }
 
   /** Queries whose implementation executes a Structured Streaming

@@ -88,13 +88,33 @@ object Components {
           s"connectedComponents did not converge in $maxRounds rounds " +
             s"($changed labels still moving) — component diameter exceeds " +
             "maxRounds; raise it or switch to large/small-star rounds")
-      val nbr = edges.join(comp, edges("dst") === comp("node"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
-      val next = comp.join(nbr, comp("node") === nbr("src"), "left")
-        .select(comp("node").as("node"),
-          least(comp("comp"), coalesce(col("nbr_comp"), comp("comp"))).as("new_comp"),
-          comp("comp").as("old_comp"))
-        .localCheckpoint()
+      // One-exchange round (r14, guide §2.4): the old shape was
+      // join → groupBy(src) → LEFT-join back onto comp — three keyed
+      // exchanges per round. Label messages and each node's own label
+      // are the SAME relation shape, so union them and take one
+      // aggregate: min over all rows is the propagated label, min over
+      // the own row (exactly one per node) recovers the previous label
+      // for the convergence count. Same fixpoint, one exchange.
+      // spark.graft.cc.fused=false restores the r13 three-exchange
+      // round (same-JVM A/B hook).
+      val fused = pairs.sparkSession.conf
+        .getOption("spark.graft.cc.fused").forall(_.toBoolean)
+      val next = (if (fused) {
+        val msgs = edges.join(comp, edges("dst") === comp("node"))
+          .select(edges("src").as("node"), col("comp"), lit(false).as("own"))
+        comp.select(col("node"), col("comp"), lit(true).as("own"))
+          .unionByName(msgs)
+          .groupBy(col("node"))
+          .agg(min(col("comp")).as("new_comp"),
+            min(when(col("own"), col("comp"))).as("old_comp"))
+      } else {
+        val nbr = edges.join(comp, edges("dst") === comp("node"))
+          .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
+        comp.join(nbr, comp("node") === nbr("src"), "left")
+          .select(comp("node").as("node"),
+            least(comp("comp"), coalesce(col("nbr_comp"), comp("comp"))).as("new_comp"),
+            comp("comp").as("old_comp"))
+      }).localCheckpoint()
       changed = next.filter(col("new_comp") < col("old_comp")).count()
       // next is fully materialized (eager checkpoint) — the previous
       // round's blocks are dead; without this, one RDD leaks per round
@@ -155,11 +175,20 @@ object Components {
       val minsL = bi.groupBy(col("a"))
         .agg(min(col("b")).as("mb"))
         .select(col("a"), least(col("mb"), col("a")).as("m"))
-      val afterLarge = bi.join(minsL, "a")
+      // FUSED round (r14, VERDICT r13 #6): no checkpoint between the
+      // large-star and small-star halves — one materialization job per
+      // round instead of two. afterLarge's two consumers (minsS and
+      // hangNbrs) are canonical-identical subtrees, so the exchange
+      // feeding its distinct is planned once and reused; lineage stays
+      // bounded because the round still starts from checkpointed edges.
+      val fused = pairs.sparkSession.conf
+        .getOption("spark.graft.cc.fused").forall(_.toBoolean)
+      val afterLarge0 = bi.join(minsL, "a")
         .filter(col("b") > col("a"))
         .select(col("b").as("u"), col("m").as("v")) // b > a ≥ m
         .filter(col("u") =!= col("v"))
-        .distinct().localCheckpoint()
+        .distinct()
+      val afterLarge = if (fused) afterLarge0 else afterLarge0.localCheckpoint()
       // small-star: per larger endpoint u, all smaller neighbors (and
       // u itself) hang onto m = min of the smaller neighborhood
       val minsS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -177,7 +206,7 @@ object Components {
       val nextCount = next.count()
       converged = nextCount == edgeCount && next.exceptAll(edges).isEmpty
       edgeCount = nextCount
-      release(afterLarge)
+      if (!fused) release(afterLarge)
       release(edges)
       edges = next
       rounds += 1

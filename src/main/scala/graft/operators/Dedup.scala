@@ -120,16 +120,22 @@ object Dedup {
     * lineage from the scan, and dd32/dd33/dd36/dd37/dd44's barriers
     * were silently running that pipeline twice per query.
     */
-  private[graft] def bandedSignaturesOf(shingles: DataFrame): DataFrame = {
+  private[graft] def bandedSignaturesOf(shingles: DataFrame): DataFrame =
     // one fused signature pass (MinhashSigExpr), bands sliced out of
     // the array — the shingle array is traversed once per doc, not
     // once per hash family
-    val sig = shingles
-      .select(col("doc_id"), minhashSig(col("shs")).as("_sig"))
-    sig.select(col("doc_id"), posexplode(array(bandHashCols(col("_sig")): _*)))
+    bandedFromSigCol(
+      shingles.select(col("doc_id"), minhashSig(col("shs")).as("_sig")), "_sig")
+
+  /** Band an EXISTING signature column. Callers whose barriered frame
+    * already carries the fused signature (dd37) band off the cached
+    * array instead of paying a second MinhashSigExpr pass over every
+    * cached shingle array (ADVICE r13).
+    */
+  private[graft] def bandedFromSigCol(signed: DataFrame, sigCol: String): DataFrame =
+    signed.select(col("doc_id"), posexplode(array(bandHashCols(col(sigCol)): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-  }
 
   /** The [[Bands]] band-hash columns sliced from a [[minhashSig]]
     * array — shared by every banding variant so the (4, 4) geometry

@@ -31,7 +31,10 @@ object Round6bd {
     "dd37_estimator_ci" -> { (s, d) =>
       val shingled = Dedup.barrier(Dedup.docShingles(s, d)
         .withColumn("sig", Dedup.minhashSig(col("shs"))))
-      val banded = Dedup.barrierAlso(Dedup.bandedSignaturesOf(shingled))  // r13 opt: read the barriered shingle cache, not a second md5 lineage
+      // r14 opt (ADVICE r13): band off the barrier's EXISTING sig
+      // column — bandedSignaturesOf would re-run MinhashSigExpr over
+      // every cached shingle array a second time
+      val banded = Dedup.barrierAlso(Dedup.bandedFromSigCol(shingled, "sig"))
       val pairs = banded.select(col("band"), col("band_hash"),
           col("doc_id").as("doc_a"))
         .join(banded.select(col("band"), col("band_hash"),

@@ -47,7 +47,10 @@ object Round8 {
         // stage after this exchange — byte-tiny, so AQE coalesced the
         // whole 2.8 s of compute onto ONE task (StageProbe). doc_a is
         // a subset of the grouping keys: same shuffle, AQE-exempt.
-        .transform(df => graft.core.Par.scatterBy(df, col("doc_a")))
+        // DENSE form (r14): the fold is heavy per pair — the r14
+        // size-aware cap measured 2.98 s vs 1.89 s dense in a
+        // same-JVM A/B, so this site keeps full fan-out.
+        .transform(df => graft.core.Par.scatterByDense(df, col("doc_a")))
         .groupBy(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
         .agg(min(col("occ")).as("min_occ"),
           max(when(col("hub") === col("doc_a"), col("occ"))).as("hub_occ"))

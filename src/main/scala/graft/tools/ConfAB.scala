@@ -40,9 +40,17 @@ object ConfAB {
       }.unzip
       setA()
       def ms3(v: Double) = math.round(v * 1000) / 1000.0
-      println(s"""{"query":"$name","a_min":${ms3(as.min)},"b_min":${ms3(bs.min)},""" +
+      // escape interpolated strings (ADVICE r13): an override value
+      // holding a quote/backslash must not emit malformed JSON
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      println(s"""{"query":"${esc(name)}","a_min":${ms3(as.min)},"b_min":${ms3(bs.min)},""" +
         s""""ratio":${ms3(bs.min / as.min)},"a":[${as.map(ms3).mkString(",")}],""" +
-        s""""b":[${bs.map(ms3).mkString(",")}],"overrides":"${args(2)}"}""")
+        s""""b":[${bs.map(ms3).mkString(",")}],"overrides":"${esc(args(2))}"}""")
     }
     spark.stop()
   }

@@ -12,6 +12,11 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same optimizer posture as Bench/Verify/PlanDump (ADVICE r13):
+    // the plan-audit gates must audit the plans the bench actually
+    // runs, not an InferFiltersFromGenerate-flavored variant
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

@@ -179,6 +179,20 @@ object StreamJobs {
     */
   @volatile var lastStateMetrics: Option[(Long, Long)] = None
 
+  /** Per-batch duration breakdown of the most recent snapshot run —
+    * dev instrumentation for the stream-lane floor hunt (VERDICT r13
+    * #5): one (batchId, durationMs map) per progress event of the
+    * last drained query. Read immediately after the run.
+    */
+  @volatile var lastRunDurations: Seq[(Long, Map[String, Long])] = Nil
+
+  private def recordDurations(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    import scala.jdk.CollectionConverters._
+    lastRunDurations = q.recentProgress.toSeq.map(p =>
+      (p.batchId, p.durationMs.asScala.map { case (k, v) => (k, v.longValue) }.toMap))
+  }
+
   /** The RocksDB provider's SST-footprint custom metric in the pinned
     * Spark. RocksDbStateSpec asserts this name against
     * `RocksDBStateStoreProvider.supportedCustomMetrics` so a metric
@@ -206,18 +220,50 @@ object StreamJobs {
       lastStateMetrics = Some((rows, bytes))
     }
 
+  /** Stateful-shuffle partition count for snapshot drains: explicit
+    * argument wins; otherwise the `spark.graft.stream.stateParts`
+    * dial (Tuned sets it from corpus scale; ladder legs override);
+    * default 4 — the r13 posture. Partition count never changes WHAT
+    * a stateful operator computes (grouping is by key, not by
+    * partition), only how many state stores hold it.
+    */
+  private def statePartsFor(s: SparkSession, explicit: Int): Int =
+    if (explicit > 0) explicit
+    else s.conf.getOption("spark.graft.stream.stateParts")
+      .map(_.toInt).filter(_ > 0).getOrElse(4)
+
+  /** Scratch base for snapshot-drain state (checkpoints, file-sink
+    * output). `spark.graft.stream.scratchDir` points it at fast local
+    * scratch on deployments that have it; default java.io.tmpdir.
+    * Measured r14: a tmpfs (/dev/shm) default was a WASH at sf0.1
+    * (six-stream same-JVM A/B, ratios 0.69-1.13 both directions — the
+    * page cache already absorbs the WAL's small writes) and RAM-backed
+    * scratch is a memory hazard at ladder scale (multi-GiB snapshot
+    * parquet per sample), so the default stays disk. Resumable
+    * production streams (runFilePipeline) take an explicit durable
+    * checkpoint dir from the caller and are unaffected.
+    */
+  private[graft] def scratchBase(s: SparkSession): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      s.conf.getOption("spark.graft.stream.scratchDir")
+        .getOrElse(System.getProperty("java.io.tmpdir")))
+
   def runMemorySnapshot(
-      df: DataFrame, name: String, mode: String, stateParts: Int = 4): DataFrame = {
+      df: DataFrame, name: String, mode: String, stateParts: Int = 0): DataFrame = {
     val s = df.sparkSession
     s.catalog.dropTempView(name)
+    snapshotHook
+    val ckpt = java.nio.file.Files.createTempDirectory(scratchBase(s), "graft-msnap")
+    snapshotDirs.add(ckpt)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    s.conf.set("spark.sql.shuffle.partitions", statePartsFor(s, stateParts).toString)
     try {
       val q = df.writeStream.format("memory").queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", s"$ckpt/ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(); recordStateMetrics(q) } finally q.stop()
+      try { q.awaitTermination(); recordStateMetrics(q); recordDurations(q) } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
@@ -264,14 +310,14 @@ object StreamJobs {
     */
   def cleanupFileSnapshots(): Unit = deleteSnapshotDirs()
 
-  def runFileSnapshot(df: DataFrame, stateParts: Int = 4): DataFrame = {
+  def runFileSnapshot(df: DataFrame, stateParts: Int = 0): DataFrame = {
     val s = df.sparkSession
     snapshotHook
-    val dirPath = java.nio.file.Files.createTempDirectory("graft-fsnap")
+    val dirPath = java.nio.file.Files.createTempDirectory(scratchBase(s), "graft-fsnap")
     snapshotDirs.add(dirPath)
     val dir = dirPath.toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    s.conf.set("spark.sql.shuffle.partitions", statePartsFor(s, stateParts).toString)
     try {
       val q = df.writeStream.format("parquet")
         .option("path", s"$dir/out")
@@ -279,7 +325,7 @@ object StreamJobs {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      try { q.awaitTermination(); recordStateMetrics(q) } finally q.stop()
+      try { q.awaitTermination(); recordStateMetrics(q); recordDurations(q) } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     // zero-output streams leave no part files — the explicit schema
     // keeps the read valid either way

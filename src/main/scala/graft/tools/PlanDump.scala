@@ -158,9 +158,15 @@ object PlanDump {
     // data dir dump ONLY those queries — the before/after plan
     // artifacts in plans/r13/ are cut from these dumps
     val names = if (args.length > 1) args.drop(1).toSeq else Representative
-    val spark = SparkSession.builder().master("local[4]")
+    // SPARK_GRAFT_CPUS (default 4, the historical dump posture): plan
+    // artifacts that claim a parallelism-dependent shape (r14's
+    // size-aware scatterBy caps) must be dumped at the bench's core
+    // count or the cap clamps to the dump session's 4 and the
+    // before/after diff vanishes.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
       .withExtensions(new graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // match the bench/verify optimizer posture so dumped plans are
